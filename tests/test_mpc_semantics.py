@@ -1,0 +1,105 @@
+"""Gate-semantics: masked-wire MPC values must equal cleartext evaluation
+(the reference's debug-mode invariant, interpreter/mod.rs:16-20 and
+single.rs:63-66), for every gate type and across all repetition groups."""
+
+import numpy as np
+import pytest
+
+from reverie_tpu.algebra import gf2 as agf2
+from reverie_tpu.algebra import z64 as az64
+from reverie_tpu.backend import cpu
+from reverie_tpu.circuit import CombineOp, Gate, Kind, Op, evaluate_composite_program, largest_wires
+from reverie_tpu.crypto import expand_seeds
+from reverie_tpu.params import KEY_SIZE
+
+
+def run_prover(program, wit2, witz, G=4):
+    rng = np.random.RandomState(1)
+    seeds = rng.randint(0, 256, size=(G, 8, KEY_SIZE), dtype=np.uint8)
+    m2, mz = cpu.count_masks(program)
+    pk = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(G, 8, 8, KEY_SIZE)
+    tape2, tapez = cpu.make_tapes(pk, None, m2, mz)
+    t2 = cpu.Transcript("gf2", cpu.PROVER, G, tape2, witness=iter(wit2))
+    tz = cpu.Transcript("z64", cpu.PROVER, G, tapez, witness=iter(witz))
+    return cpu.execute(program, t2, tz, largest_wires(program))
+
+
+def gf2_values(ins):
+    """wire value = reconstruct(mask) + corr, as bits (W, G, 8reps)."""
+    rec = agf2.reconstruct(ins.gf2.mask)
+    val = agf2.recon_add(rec, ins.gf2.corr)
+    return (agf2.rep_bytes(val) & 1).astype(np.uint8)
+
+
+def z64_values(ins):
+    return az64.recon_add(az64.reconstruct(ins.z64.mask), ins.z64.corr)
+
+
+@pytest.mark.parametrize(
+    "gate,wit,expect",
+    [
+        (Gate(Op.MUL, 2, 0, 1), [True, True], 1),
+        (Gate(Op.MUL, 2, 0, 1), [True, False], 0),
+        (Gate(Op.ADD, 2, 0, 1), [True, True], 0),
+        (Gate(Op.ADD, 2, 0, 1), [True, False], 1),
+        (Gate(Op.SUB, 2, 0, 1), [True, False], 1),
+        (Gate(Op.ADDC, 2, 0, const=1), [True], 0),
+        (Gate(Op.ADDC, 2, 0, const=0), [True], 1),
+        (Gate(Op.SUBC, 2, 0, const=1), [False], 1),
+        (Gate(Op.MULC, 2, 0, const=1), [True], 1),
+        (Gate(Op.MULC, 2, 0, const=0), [True], 0),
+        (Gate(Op.CONST, 2, const=1), [], 1),
+    ],
+)
+def test_gf2_gate_semantics(gate, wit, expect):
+    prog = [CombineOp.gf2(Gate(Op.INPUT, dst=i)) for i in range(len(wit))]
+    prog.append(CombineOp.gf2(gate))
+    ins = run_prover(prog, wit, [])
+    vals = gf2_values(ins)
+    assert np.all(vals[gate.dst] == expect)
+
+
+@pytest.mark.parametrize(
+    "gate,wit,expect",
+    [
+        (Gate(Op.MUL, 2, 0, 1), [400, 20], 8000),
+        (Gate(Op.MUL, 2, 0, 1), [2**64 - 1, 20], (2**64 - 20) % 2**64),
+        (Gate(Op.ADD, 2, 0, 1), [2**64 - 1, 21], 20),
+        (Gate(Op.SUB, 2, 0, 1), [10, 20], 2**64 - 10),
+        (Gate(Op.ADDC, 2, 0, const=20), [2**64 - 2], 18),
+        (Gate(Op.SUBC, 2, 0, const=21), [20], 2**64 - 1),
+        (Gate(Op.MULC, 2, 0, const=20), [2**63], 0),
+        (Gate(Op.CONST, 2, const=123456789), [], 123456789),
+    ],
+)
+def test_z64_gate_semantics(gate, wit, expect):
+    prog = [CombineOp.z64(Gate(Op.INPUT, dst=i)) for i in range(len(wit))]
+    prog.append(CombineOp.z64(gate))
+    ins = run_prover(prog, [], wit)
+    vals = z64_values(ins)
+    assert np.all(vals[gate.dst] == np.uint64(expect))
+
+
+def test_b2a_semantics():
+    """B2A output equals the little-endian composition of the 64 input bits
+    (combine.rs:132-219), checked against cleartext evaluation."""
+    rng = np.random.RandomState(3)
+    bits = [bool(b) for b in rng.randint(0, 2, size=64)]
+    prog = [CombineOp.size_hint(2, 64)]
+    prog += [CombineOp.gf2(Gate(Op.INPUT, dst=i)) for i in range(64)]
+    prog += [CombineOp.b2a(1, 0)]
+    ins = run_prover(prog, bits, [])
+    z64_clear, _ = evaluate_composite_program(prog, bits, [])
+    vals = z64_values(ins)
+    assert np.all(vals[1] == z64_clear[1])
+
+
+def test_random_circuit_matches_cleartext():
+    from reverie_tpu.circuit.builders import wide_and_circuit
+
+    prog, wit, witz = wide_and_circuit(80, width=24, seed=3)
+    ins = run_prover(prog, wit, witz)
+    z64_clear, gf2_clear = evaluate_composite_program(prog, wit, witz)
+    vals = gf2_values(ins)
+    for w in range(len(gf2_clear)):
+        assert np.all(vals[w] == gf2_clear[w]), f"wire {w}"

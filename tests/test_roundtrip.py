@@ -1,0 +1,81 @@
+"""End-to-end prove -> verify round-trips on the CPU golden backend
+(modeled on reference proof/mod.rs:397-427 test_prover_gf2_mul)."""
+
+import numpy as np
+import pytest
+
+from reverie_tpu.circuit import CombineOp, Gate, Op
+from reverie_tpu.circuit.builders import mixed_b2a_circuit, mul_bench_circuit, wide_and_circuit
+from reverie_tpu.proof import Proof, prove, verify
+
+
+def fixed_seeds():
+    rng = np.random.RandomState(42)
+    return rng.randint(0, 256, size=(32, 8, 16), dtype=np.uint8)
+
+
+def test_roundtrip_gf2_mul():
+    prog, wit2, witz = mul_bench_circuit(20)
+    proof = prove(prog, wit2, witz, seeds=fixed_seeds())
+    assert verify(proof, prog)
+
+
+def test_roundtrip_wide_and():
+    prog, wit2, witz = wide_and_circuit(50, width=32, seed=7)
+    proof = prove(prog, wit2, witz, seeds=fixed_seeds())
+    assert verify(proof, prog)
+
+
+def test_roundtrip_z64():
+    prog = [
+        CombineOp.z64(Gate(Op.INPUT, dst=0)),
+        CombineOp.z64(Gate(Op.INPUT, dst=1)),
+        CombineOp.z64(Gate(Op.MUL, dst=2, src1=0, src2=1)),
+        CombineOp.z64(Gate(Op.SUBC, dst=3, src1=2, const=15)),
+        CombineOp.z64(Gate(Op.ASSERT_ZERO, src1=3)),
+    ]
+    proof = prove(prog, [], [3, 5], seeds=fixed_seeds())
+    assert verify(proof, prog)
+
+
+def test_roundtrip_mixed_b2a():
+    prog, wit2, witz = mixed_b2a_circuit()
+    proof = prove(prog, wit2, witz, seeds=fixed_seeds())
+    assert verify(proof, prog)
+
+
+def test_proof_serialization_roundtrip():
+    prog, wit2, witz = mul_bench_circuit(5)
+    proof = prove(prog, wit2, witz, seeds=fixed_seeds())
+    blob = proof.to_bytes()
+    back = Proof.from_bytes(blob)
+    assert back == proof
+    assert verify(back, prog)
+
+
+def test_tampered_proof_rejected():
+    prog, wit2, witz = mul_bench_circuit(5)
+    proof = prove(prog, wit2, witz, seeds=fixed_seeds())
+    blob = bytearray(proof.to_bytes())
+    blob[5] ^= 1  # flip a bit in the commitment
+    assert not verify(Proof.from_bytes(bytes(blob)), prog)
+    # flip a bit in an opening stream instead
+    blob = bytearray(proof.to_bytes())
+    blob[-1] ^= 1
+    assert not verify(Proof.from_bytes(bytes(blob)), prog)
+
+
+def test_invalid_witness_aborts():
+    prog = [
+        CombineOp.gf2(Gate(Op.INPUT, dst=0)),
+        CombineOp.gf2(Gate(Op.ASSERT_ZERO, src1=0)),
+    ]
+    with pytest.raises(AssertionError):
+        prove(prog, [True], [], seeds=fixed_seeds())
+
+
+def test_deterministic_with_seeds():
+    prog, wit2, witz = mul_bench_circuit(5)
+    p1 = prove(prog, wit2, witz, seeds=fixed_seeds())
+    p2 = prove(prog, wit2, witz, seeds=fixed_seeds())
+    assert p1.to_bytes() == p2.to_bytes()
