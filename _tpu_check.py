@@ -1,0 +1,26 @@
+import time, numpy as np
+import jax
+print('backend:', jax.default_backend(), flush=True)
+from reverie_tpu.circuit.builders import mul_bench_circuit, wide_and_circuit, mixed_b2a_circuit
+from reverie_tpu.backend.tpu_host import TpuKKW
+
+rng = np.random.RandomState(42)
+seeds = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
+golden = {}
+import pickle, os
+if os.path.exists('/tmp/golden_proofs.pkl'):
+    golden = pickle.load(open('/tmp/golden_proofs.pkl','rb'))
+
+for name, (prog, wit2, witz) in [
+    ('mul20', mul_bench_circuit(20)),
+    ('wide_and', wide_and_circuit(50, width=32, seed=7)),
+    ('b2a', mixed_b2a_circuit()),
+]:
+    t0 = time.time()
+    s_ = TpuKKW(prog)
+    proof = s_.prove(wit2, witz, seeds=seeds)
+    t1 = time.time()
+    ok = s_.verify(proof)
+    t2 = time.time()
+    gmatch = (golden.get(name) == proof.to_bytes()) if name in golden else 'n/a'
+    print(f'{name}: verify={ok} golden_match={gmatch} prove={t1-t0:.1f}s verify={t2-t1:.1f}s', flush=True)

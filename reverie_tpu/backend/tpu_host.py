@@ -1,0 +1,360 @@
+"""Host orchestration for the TPU backend: tape preparation, transcript
+hashing, proof extraction/injection, and the public prove/verify entry
+points.  The device executes the circuit (backend/tpu.py); this module owns
+everything around it (reference proof/mod.rs:118-308 orchestration).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..algebra import u64pair as up
+from ..circuit.compile import CompiledCircuit, compile_program
+from ..circuit.ir import CombineOp
+from ..crypto import blake3, blake3_many, expand_seeds, keystream_batch
+from ..params import DEFAULT_PARAMS, KEY_SIZE, ProtocolParams
+from ..proof.challenge import challenge_to_opening, opening_to_packed
+from ..proof.container import OpenOnline, OpenPreprocessing, Proof, ProofSingle
+from .tpu import PROVER, VERIFY_ONL, VERIFY_PRE, Executor
+
+U64 = np.uint64
+
+GF2_BATCH_BYTES = 16
+Z64_BATCH_BYTES = 1024
+BATCH = 128
+
+
+# ---------------------------------------------------------------------------
+# Tape preparation (host AES for now; Pallas kernel replaces this on-device)
+# ---------------------------------------------------------------------------
+
+
+def build_tapes(player_keys: np.ndarray, omit: Optional[np.ndarray], m2: int, mz: int):
+    """player_keys: (R, 8, 16) uint8; omit: (R,) int or None.
+
+    Returns tape2 (m2, R) uint8 player-bit bytes, tapez_lo/hi (mz, R, 8) u32.
+    """
+    R = player_keys.shape[0]
+    flat = player_keys.reshape(R * 8, KEY_SIZE)
+
+    tape2 = np.zeros((max(m2, 1), R), dtype=np.uint8)[: m2 or 1]
+    if m2:
+        n2 = ((m2 + BATCH - 1) // BATCH) * GF2_BATCH_BYTES
+        ks = keystream_batch(flat, n2).reshape(R, 8, n2)
+        if omit is not None:
+            idx = np.nonzero(omit < 8)[0]
+            ks[idx, omit[idx].astype(np.int64)] = 0
+        bits = np.unpackbits(ks, axis=-1)[:, :, :m2]  # (R, 8, m2)
+        tape2 = np.packbits(bits.transpose(2, 0, 1), axis=-1)[..., 0]  # (m2, R)
+    else:
+        tape2 = np.zeros((0, R), dtype=np.uint8)
+
+    if mz:
+        nz = ((mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
+        ks = keystream_batch(flat, nz).reshape(R, 8, nz)
+        if omit is not None:
+            idx = np.nonzero(omit < 8)[0]
+            ks[idx, omit[idx].astype(np.int64)] = 0
+        words = np.ascontiguousarray(ks).view("<u8")[:, :, :mz]  # (R, 8, mz)
+        words = np.transpose(words, (2, 0, 1))  # (mz, R, 8)
+        lo, hi = up.from_u64(words)
+    else:
+        lo = np.zeros((0, R, 8), dtype=np.uint32)
+        hi = np.zeros((0, R, 8), dtype=np.uint32)
+    return tape2, lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Transcript hashing
+# ---------------------------------------------------------------------------
+
+
+def _stream_hash(buf: np.ndarray, length: int) -> np.ndarray:
+    """(T_padded, R) byte buffer -> (R, 32) per-rep blake3 over the first
+    `length` rows (columns are the per-rep streams)."""
+    R = buf.shape[1]
+    rows = np.ascontiguousarray(buf[:length].T)  # (R, length)
+    return blake3_many(rows if length else np.zeros((R, 0), np.uint8))
+
+
+def domain_rep_hashes(onl: np.ndarray, pre: np.ndarray, onl_len: int, pre_len: int,
+                      comm_online: Optional[np.ndarray] = None):
+    """Per-rep H(preprocess || online) (transcript/mod.rs:77-96).  In the
+    preprocess-verify role the online hash is the committed value."""
+    hp = _stream_hash(pre, pre_len)
+    ho = comm_online if comm_online is not None else _stream_hash(onl, onl_len)
+    return blake3_many(np.concatenate([hp, ho], axis=1)), ho
+
+
+def combined_rep_hashes(h2: np.ndarray, hz: np.ndarray) -> np.ndarray:
+    """H(gf2_i || z64_i) per rep (combine.rs:104-118)."""
+    return blake3_many(np.concatenate([h2, hz], axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Stream packing (prover extraction) -- byte-exact wire formats
+# ---------------------------------------------------------------------------
+
+
+def _pack_bits_stream(bits: np.ndarray) -> bytes:
+    """(N,) 0/1 -> packed bytes, 8 bits per byte MSB-first, with the
+    reference's always-emitted zero-padded remainder byte
+    (gf2/recon.rs:218-237, gf2/share.rs:120-135)."""
+    n = len(bits)
+    n_chunks = n // 8 + 1
+    padded = np.zeros(n_chunks * 8, dtype=np.uint8)
+    padded[:n] = bits
+    return np.packbits(padded).tobytes()
+
+
+def extract_gf2_openings(cc: CompiledCircuit, onl2: np.ndarray, pre2: np.ndarray,
+                         omit: np.ndarray) -> Dict[int, tuple]:
+    """For each opened rep r (omit[r] < 8): (recons, corrs, inputs) bytes."""
+    rec_rows = onl2[cc.recon_slots2] if cc.n_recons2 else np.zeros((0, onl2.shape[1]), np.uint8)
+    cor_rows = pre2[cc.corr_slots2] if cc.n_corrs2 else np.zeros((0, onl2.shape[1]), np.uint8)
+    inp_rows = onl2[cc.input_slots2] if cc.n_inputs2 else np.zeros((0, onl2.shape[1]), np.uint8)
+    out = {}
+    for r in np.nonzero(omit < 8)[0]:
+        p = int(omit[r])
+        recons = _pack_bits_stream((rec_rows[:, r] >> (7 - p)) & 1)
+        corrs = _pack_bits_stream(cor_rows[:, r] & 1)
+        inputs = _pack_bits_stream(inp_rows[:, r] & 1)
+        out[int(r)] = (recons, corrs, inputs)
+    return out
+
+
+def extract_z64_openings(cc: CompiledCircuit, onlz: np.ndarray, prez: np.ndarray,
+                         omit: np.ndarray) -> Dict[int, tuple]:
+    T = onlz.shape[1]
+    out = {}
+    rec_base = cc.recon_slotsz
+    cor_base = cc.corr_slotsz
+    inp_base = cc.input_slotsz
+    for r in np.nonzero(omit < 8)[0]:
+        p = int(omit[r])
+        # recon share events: 64 bytes each; omitted player's u64 = bytes [8p, 8p+8)
+        if len(rec_base):
+            rows = (rec_base[:, None] + 8 * p + np.arange(8)[None, :]).reshape(-1)
+            recons = onlz[rows, r].tobytes()
+        else:
+            recons = b""
+        if len(cor_base):
+            rows = (cor_base[:, None] + np.arange(8)[None, :]).reshape(-1)
+            corrs = prez[rows, r].tobytes()
+        else:
+            corrs = b""
+        if len(inp_base):
+            rows = (inp_base[:, None] + np.arange(8)[None, :]).reshape(-1)
+            inputs = onlz[rows, r].tobytes()
+        else:
+            inputs = b""
+        out[int(r)] = (recons, corrs, inputs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stream injection (verifier) -- proof streams to TPU-layout arrays
+# ---------------------------------------------------------------------------
+
+
+def _bits_from_stream(stream: bytes, n: int) -> np.ndarray:
+    """byte stream -> first n bits (MSB-first), zero-padded (lenient)."""
+    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8))
+    out = np.zeros(n, dtype=np.uint8)
+    take = min(n, len(bits))
+    out[:take] = bits[:take]
+    return out
+
+
+def _u64s_from_stream(stream: bytes, n: int) -> np.ndarray:
+    words = np.frombuffer(stream[: (len(stream) // 8) * 8], dtype="<u8")
+    out = np.zeros(n, dtype=U64)
+    take = min(n, len(words))
+    out[:take] = words[:take]
+    return out
+
+
+def build_online_injection(cc: CompiledCircuit, openings2: List[OpenOnline],
+                           openingsz: List[OpenOnline]):
+    """openings: one per rep (R = len).  Returns the injected-stream arrays
+    for the VERIFY_ONL executor."""
+    R = len(openings2)
+    co2 = np.zeros((cc.n_corrs2, R), dtype=np.uint8)
+    in2 = np.zeros((cc.n_inputs2, R), dtype=np.uint8)
+    re2 = np.zeros((cc.n_recons2, R), dtype=np.uint8)
+    coz = np.zeros((cc.n_corrsz, R), dtype=U64)
+    inz = np.zeros((cc.n_inputsz, R), dtype=U64)
+    rez_val = np.zeros((cc.n_reconsz, R), dtype=U64)
+    omit = np.array([o.omit for o in openings2], dtype=np.int64)
+    omitz = np.array([o.omit for o in openingsz], dtype=np.int64)
+    for r, o in enumerate(openings2):
+        co2[:, r] = _bits_from_stream(o.corrs, cc.n_corrs2)
+        in2[:, r] = _bits_from_stream(o.inputs, cc.n_inputs2)
+        re2[:, r] = _bits_from_stream(o.recons, cc.n_recons2) << (7 - int(o.omit))
+    for r, o in enumerate(openingsz):
+        coz[:, r] = _u64s_from_stream(o.corrs, cc.n_corrsz)
+        inz[:, r] = _u64s_from_stream(o.inputs, cc.n_inputsz)
+        rez_val[:, r] = _u64s_from_stream(o.recons, cc.n_reconsz)
+    # z64 recon shares: value at the omitted player's coordinate
+    rez = np.zeros((cc.n_reconsz, R, 8), dtype=U64)
+    if cc.n_reconsz:
+        rez[:, np.arange(R), omitz] = rez_val
+    coz_lo, coz_hi = up.from_u64(coz)
+    inz_lo, inz_hi = up.from_u64(inz)
+    rez_lo, rez_hi = up.from_u64(rez)
+    return dict(
+        co2=co2, in2=in2, re2=re2,
+        coz_lo=coz_lo, coz_hi=coz_hi,
+        inz_lo=inz_lo, inz_hi=inz_hi,
+        rez_lo=rez_lo, rez_hi=rez_hi,
+    ), omit, omitz
+
+
+# ---------------------------------------------------------------------------
+# The proof system
+# ---------------------------------------------------------------------------
+
+
+class TpuKKW:
+    """Compile a circuit once; prove and verify on the TPU backend."""
+
+    def __init__(self, program: Sequence[CombineOp], params: ProtocolParams = DEFAULT_PARAMS):
+        self.params = params
+        self.cc = compile_program(program)
+        self._executors: Dict[tuple, Executor] = {}
+
+    def _executor(self, mode: int, R: int) -> Executor:
+        key = (mode, R)
+        if key not in self._executors:
+            self._executors[key] = Executor(self.cc, mode, total_reps=R)
+        return self._executors[key]
+
+    # -- proving ------------------------------------------------------------
+    def prove(self, wit_gf2, wit_z64, seeds: Optional[np.ndarray] = None) -> Proof:
+        cc, params = self.cc, self.params
+        R = params.total_reps
+        import os as _os
+
+        if seeds is None:
+            seeds = np.frombuffer(
+                _os.urandom(R * KEY_SIZE), dtype=np.uint8
+            ).reshape(R, KEY_SIZE)
+        seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(R, KEY_SIZE)
+
+        player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
+        tape2, tz_lo, tz_hi = build_tapes(player_keys, None, cc.m2, cc.mz)
+
+        wit2 = np.asarray([1 if b else 0 for b in wit_gf2], dtype=np.uint8)
+        witz = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wit_z64], dtype=U64)
+        if len(wit2) < cc.n_wit2 or len(witz) < cc.n_witz:
+            raise AssertionError("witness is too short")
+        wl, wh = up.from_u64(witz[: cc.n_witz])
+
+        inp = dict(
+            tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
+            wit2=wit2[: cc.n_wit2], witz_lo=wl, witz_hi=wh,
+        )
+        out = self._executor(PROVER, R)(inp)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if np.any(out["fail"]):
+            raise AssertionError("witness is invalid (AssertZero failed)")
+
+        h2, ho2 = domain_rep_hashes(out["onl2"], out["pre2"], cc.onl2, cc.pre2)
+        hz, hoz = domain_rep_hashes(out["onlz"], out["prez"], cc.onlz, cc.prez)
+        rep_h = combined_rep_hashes(h2, hz)  # (R, 32)
+        comm = blake3(rep_h.tobytes())
+
+        open_map = challenge_to_opening(comm, params)
+        omit = np.full(R, 8, dtype=np.int64)
+        for rep, p in open_map.items():
+            omit[rep] = p
+
+        open2 = extract_gf2_openings(cc, out["onl2"], out["pre2"], omit)
+        openz = extract_z64_openings(cc, out["onlz"], out["prez"], omit)
+
+        p2 = ProofSingle([], [])
+        pz = ProofSingle([], [])
+        for r in range(R):
+            if omit[r] < 8:
+                ks = player_keys[r].copy()
+                ks[omit[r]] = 0
+                rec, cor, inpt = open2[r]
+                p2.online.append(OpenOnline(int(omit[r]), ks.tobytes(), rec, cor, inpt))
+                rec, cor, inpt = openz[r]
+                pz.online.append(OpenOnline(int(omit[r]), ks.tobytes(), rec, cor, inpt))
+            else:
+                p2.preprocessing.append(
+                    OpenPreprocessing(seeds[r].tobytes(), ho2[r].tobytes())
+                )
+                pz.preprocessing.append(
+                    OpenPreprocessing(seeds[r].tobytes(), hoz[r].tobytes())
+                )
+        return Proof(comm, p2, pz)
+
+    # -- verification -------------------------------------------------------
+    def verify(self, proof: Proof, strict_zero_check: bool = True) -> bool:
+        cc, params = self.cc, self.params
+        if not proof.gf2.check_format(params.online_reps, params.preprocessing_reps):
+            return False
+        if not proof.z64.check_format(params.online_reps, params.preprocessing_reps):
+            return False
+
+        # ---- online re-execution (all 40 opened reps as one batch) --------
+        Ro = params.online_reps
+        inj, omit, omitz = build_online_injection(cc, proof.gf2.online, proof.z64.online)
+        player_keys = np.stack(
+            [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.gf2.online]
+        )
+        player_keysz = np.stack(
+            [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
+        )
+        tape2, _, _ = build_tapes(player_keys, omit, cc.m2, 0)
+        _, tz_lo, tz_hi = build_tapes(player_keysz, omitz, 0, cc.mz)
+        inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
+        out = self._executor(VERIFY_ONL, Ro)(inp)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if strict_zero_check and np.any(out["fail"]):
+            return False
+        h2, _ = domain_rep_hashes(out["onl2"], out["pre2"], cc.onl2, cc.pre2)
+        hz, _ = domain_rep_hashes(out["onlz"], out["prez"], cc.onlz, cc.prez)
+        hashes_online = combined_rep_hashes(h2, hz)  # (40, 32)
+
+        # ---- preprocessing re-execution -----------------------------------
+        Rp = params.preprocessing_reps
+        seeds2 = np.stack(
+            [np.frombuffer(p.seed, dtype=np.uint8) for p in proof.gf2.preprocessing]
+        )
+        seedsz = np.stack(
+            [np.frombuffer(p.seed, dtype=np.uint8) for p in proof.z64.preprocessing]
+        )
+        comm2 = np.stack(
+            [np.frombuffer(p.comm_online, dtype=np.uint8) for p in proof.gf2.preprocessing]
+        )
+        commz = np.stack(
+            [np.frombuffer(p.comm_online, dtype=np.uint8) for p in proof.z64.preprocessing]
+        )
+        pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
+        pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
+        tape2, _, _ = build_tapes(pk2, None, cc.m2, 0)
+        _, tz_lo, tz_hi = build_tapes(pkz, None, 0, cc.mz)
+        inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
+        out = self._executor(VERIFY_PRE, Rp)(inp)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        h2, _ = domain_rep_hashes(out["onl2"], out["pre2"], cc.onl2, cc.pre2, comm_online=comm2)
+        hz, _ = domain_rep_hashes(out["onlz"], out["prez"], cc.onlz, cc.prez, comm_online=commz)
+        hashes_pre = combined_rep_hashes(h2, hz)  # (216, 32)
+
+        # ---- reorder + commitment check -----------------------------------
+        open_map = challenge_to_opening(proof.comm, params)
+        ordered = np.zeros((params.total_reps, 32), dtype=np.uint8)
+        io_ = ip = 0
+        for i in range(params.total_reps):
+            if i in open_map:
+                ordered[i] = hashes_online[io_]
+                io_ += 1
+            else:
+                ordered[i] = hashes_pre[ip]
+                ip += 1
+        return blake3(ordered.tobytes()) == proof.comm

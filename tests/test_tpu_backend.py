@@ -1,0 +1,72 @@
+"""Differential tests: the levelized JAX executor (TPU backend) must produce
+byte-identical proofs to the CPU golden backend, and its verifier must accept
+them.  These run on the CPU platform (conftest); the same code path runs on
+real TPU hardware (checked separately by bench/driver runs)."""
+
+import numpy as np
+import pytest
+
+from reverie_tpu.backend.tpu_host import TpuKKW
+from reverie_tpu.circuit import CombineOp, Gate, Op
+from reverie_tpu.circuit.builders import (
+    mixed_b2a_circuit,
+    mul_bench_circuit,
+    wide_and_circuit,
+    z64_mul_bench_circuit,
+)
+from reverie_tpu.proof import prove as cpu_prove
+from reverie_tpu.proof import verify as cpu_verify
+
+
+def seeds256():
+    rng = np.random.RandomState(42)
+    return rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
+
+
+CIRCUITS = {
+    "mul20": lambda: mul_bench_circuit(20),
+    "wide_and": lambda: wide_and_circuit(60, width=32, seed=7),
+    "z64": lambda: z64_mul_bench_circuit(10),
+    "b2a": lambda: mixed_b2a_circuit(),
+}
+
+
+@pytest.mark.parametrize("name", list(CIRCUITS))
+def test_tpu_matches_cpu_proof_bytes(name):
+    prog, wit2, witz = CIRCUITS[name]()
+    s = seeds256()
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    sys_ = TpuKKW(prog)
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    # cross-verification both ways
+    assert sys_.verify(tpu_proof)
+    assert cpu_verify(tpu_proof, prog)
+    assert sys_.verify(cpu_proof)
+
+
+def test_tpu_rejects_tampered():
+    prog, wit2, witz = mul_bench_circuit(10)
+    sys_ = TpuKKW(prog)
+    proof = sys_.prove(wit2, witz, seeds=seeds256())
+    from reverie_tpu.proof import Proof
+
+    blob = bytearray(proof.to_bytes())
+    blob[5] ^= 1
+    assert not sys_.verify(Proof.from_bytes(bytes(blob)))
+    blob = bytearray(proof.to_bytes())
+    blob[-1] ^= 1
+    assert not sys_.verify(Proof.from_bytes(bytes(blob)))
+
+
+def test_tpu_invalid_witness():
+    prog = [
+        CombineOp.gf2(Gate(Op.INPUT, dst=0)),
+        CombineOp.gf2(Gate(Op.ASSERT_ZERO, src1=0)),
+    ]
+    sys_ = TpuKKW(prog)
+    with pytest.raises(AssertionError):
+        sys_.prove([True], [], seeds=seeds256())
+    # valid witness passes
+    proof = sys_.prove([False], [], seeds=seeds256())
+    assert sys_.verify(proof)
