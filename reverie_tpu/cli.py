@@ -1,0 +1,169 @@
+"""Command-line interface (reference src/main.rs:167-275).
+
+Operations:
+  prove       -- program + witness -> proof file
+  verify      -- program + proof -> accept/reject
+  oneshot     -- cleartext evaluation of the program on the witness
+  oneshot-zk  -- prove then immediately verify in-process
+  version_info
+
+Program files are bincode-serialized instruction lists (same format the
+reference consumes, main.rs:66); `--format bristol` accepts Bristol-fashion
+text instead.  Witness files are ASCII '0'/'1' streams (witness.rs).
+Proof files are bincode, byte-compatible with the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _load_program(path: str, fmt: str):
+    from .circuit import bristol_to_program, load_program, parse_bristol
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if fmt == "bristol":
+        return bristol_to_program(parse_bristol(data.decode()))
+    return load_program(data)
+
+
+def _load_witness(path: str):
+    from .circuit import parse_witness_file
+
+    return parse_witness_file(path)
+
+
+def _backend_system(program, backend: str):
+    if backend == "tpu":
+        from .backend.tpu_host import TpuKKW
+
+        return TpuKKW(program)
+    return None  # cpu golden backend uses module functions
+
+
+def cmd_prove(args) -> int:
+    from .circuit import largest_wires
+    from .proof import prove
+
+    program = _load_program(args.program_path, args.format)
+    witness = _load_witness(args.witness_path)
+    print("Evaluating program in ~zero knowledge~")
+    t0 = time.time()
+    if args.backend == "tpu":
+        sys_ = _backend_system(program, "tpu")
+        proof = sys_.prove(witness, [])
+    else:
+        proof = prove(program, witness, [], largest_wires(program))
+    blob = proof.to_bytes()
+    with open(args.proof_path, "wb") as f:
+        f.write(blob)
+    print(f"proof written: {len(blob)} bytes in {time.time() - t0:.2f}s")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from .circuit import largest_wires
+    from .proof import Proof, verify
+
+    program = _load_program(args.program_path, args.format)
+    with open(args.proof_path, "rb") as f:
+        proof = Proof.from_bytes(f.read())
+    print("Verifying Proof")
+    t0 = time.time()
+    if args.backend == "tpu":
+        ok = _backend_system(program, "tpu").verify(proof)
+    else:
+        ok = verify(proof, program, largest_wires(program))
+    print(f"verified in {time.time() - t0:.2f}s")
+    if not ok:
+        print("Unverifiable Proof", file=sys.stderr)
+        return 1
+    print("Ok(())")
+    return 0
+
+
+def cmd_oneshot(args) -> int:
+    from .circuit import evaluate_composite_program
+
+    program = _load_program(args.program_path, args.format)
+    witness = _load_witness(args.witness_path)
+    print("Evaluating program in cleartext")
+    evaluate_composite_program(program, witness, [])
+    print("Ok(())")
+    return 0
+
+
+def cmd_oneshot_zk(args) -> int:
+    from .circuit import largest_wires
+    from .proof import prove, verify
+
+    program = _load_program(args.program_path, args.format)
+    witness = _load_witness(args.witness_path)
+    print("Evaluating program in ~zero knowledge~")
+    if args.backend == "tpu":
+        sys_ = _backend_system(program, "tpu")
+        proof = sys_.prove(witness, [])
+        ok = sys_.verify(proof)
+    else:
+        wc = largest_wires(program)
+        proof = prove(program, witness, [], wc)
+        ok = verify(proof, program, wc)
+    if not ok:
+        print("Unverifiable Proof", file=sys.stderr)
+        return 1
+    print("Ok(())")
+    return 0
+
+
+def cmd_version(args) -> int:
+    from . import __version__
+
+    print(f"reverie_tpu_version: {__version__}")
+    return 0
+
+
+def app() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="reverie-tpu", description="Gotta go fast (on TPUs)")
+    p.add_argument(
+        "--operation",
+        required=True,
+        choices=["prove", "verify", "oneshot", "oneshot-zk", "version_info"],
+    )
+    p.add_argument("--program-path")
+    p.add_argument("--witness-path")
+    p.add_argument("--proof-path")
+    p.add_argument("--format", default="bincode", choices=["bincode", "bristol"])
+    p.add_argument("--backend", default="tpu", choices=["tpu", "cpu"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = app().parse_args(argv)
+    op = args.operation
+    need = {
+        "prove": ["program_path", "witness_path", "proof_path"],
+        "verify": ["program_path", "proof_path"],
+        "oneshot": ["program_path", "witness_path"],
+        "oneshot-zk": ["program_path", "witness_path"],
+        "version_info": [],
+    }[op]
+    for field in need:
+        if getattr(args, field) is None:
+            print(f"--{field.replace('_', '-')} is required for {op}", file=sys.stderr)
+            return 2
+    return {
+        "prove": cmd_prove,
+        "verify": cmd_verify,
+        "oneshot": cmd_oneshot,
+        "oneshot-zk": cmd_oneshot_zk,
+        "version_info": cmd_version,
+    }[op](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
