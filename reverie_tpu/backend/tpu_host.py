@@ -109,48 +109,46 @@ def _pack_bits_stream(bits: np.ndarray) -> bytes:
     return np.packbits(padded).tobytes()
 
 
-def extract_gf2_openings(cc: CompiledCircuit, onl2: np.ndarray, pre2: np.ndarray,
-                         omit: np.ndarray) -> Dict[int, tuple]:
-    """For each opened rep r (omit[r] < 8): (recons, corrs, inputs) bytes."""
-    rec_rows = onl2[cc.recon_slots2] if cc.n_recons2 else np.zeros((0, onl2.shape[1]), np.uint8)
-    cor_rows = pre2[cc.corr_slots2] if cc.n_corrs2 else np.zeros((0, onl2.shape[1]), np.uint8)
-    inp_rows = onl2[cc.input_slots2] if cc.n_inputs2 else np.zeros((0, onl2.shape[1]), np.uint8)
-    out = {}
-    for r in np.nonzero(omit < 8)[0]:
-        p = int(omit[r])
-        recons = _pack_bits_stream((rec_rows[:, r] >> (7 - p)) & 1)
-        corrs = _pack_bits_stream(cor_rows[:, r] & 1)
-        inputs = _pack_bits_stream(inp_rows[:, r] & 1)
-        out[int(r)] = (recons, corrs, inputs)
+def extract_gf2_openings(cc: CompiledCircuit, onl2_sel: np.ndarray, pre2_sel: np.ndarray,
+                         omit_sel: np.ndarray):
+    """Column-sliced buffers for the opened reps -> per-rep (recons, corrs,
+    inputs) byte streams (prover extract, prover.rs:57-175)."""
+    K = onl2_sel.shape[1]
+    rec_rows = onl2_sel[cc.recon_slots2] if cc.n_recons2 else np.zeros((0, K), np.uint8)
+    cor_rows = pre2_sel[cc.corr_slots2] if cc.n_corrs2 else np.zeros((0, K), np.uint8)
+    inp_rows = onl2_sel[cc.input_slots2] if cc.n_inputs2 else np.zeros((0, K), np.uint8)
+    out = []
+    for j in range(K):
+        p = int(omit_sel[j])
+        recons = _pack_bits_stream((rec_rows[:, j] >> (7 - p)) & 1)
+        corrs = _pack_bits_stream(cor_rows[:, j] & 1)
+        inputs = _pack_bits_stream(inp_rows[:, j] & 1)
+        out.append((recons, corrs, inputs))
     return out
 
 
-def extract_z64_openings(cc: CompiledCircuit, onlz: np.ndarray, prez: np.ndarray,
-                         omit: np.ndarray) -> Dict[int, tuple]:
-    T = onlz.shape[1]
-    out = {}
-    rec_base = cc.recon_slotsz
-    cor_base = cc.corr_slotsz
-    inp_base = cc.input_slotsz
-    for r in np.nonzero(omit < 8)[0]:
-        p = int(omit[r])
-        # recon share events: 64 bytes each; omitted player's u64 = bytes [8p, 8p+8)
-        if len(rec_base):
-            rows = (rec_base[:, None] + 8 * p + np.arange(8)[None, :]).reshape(-1)
-            recons = onlz[rows, r].tobytes()
+def extract_z64_openings(cc: CompiledCircuit, onlz_sel: np.ndarray, prez_sel: np.ndarray,
+                         omit_sel: np.ndarray):
+    K = onlz_sel.shape[1]
+    out = []
+    for j in range(K):
+        p = int(omit_sel[j])
+        if len(cc.recon_slotsz):
+            rows = (cc.recon_slotsz[:, None] + 8 * p + np.arange(8)[None, :]).reshape(-1)
+            recons = onlz_sel[rows, j].tobytes()
         else:
             recons = b""
-        if len(cor_base):
-            rows = (cor_base[:, None] + np.arange(8)[None, :]).reshape(-1)
-            corrs = prez[rows, r].tobytes()
+        if len(cc.corr_slotsz):
+            rows = (cc.corr_slotsz[:, None] + np.arange(8)[None, :]).reshape(-1)
+            corrs = prez_sel[rows, j].tobytes()
         else:
             corrs = b""
-        if len(inp_base):
-            rows = (inp_base[:, None] + np.arange(8)[None, :]).reshape(-1)
-            inputs = onlz[rows, r].tobytes()
+        if len(cc.input_slotsz):
+            rows = (cc.input_slotsz[:, None] + np.arange(8)[None, :]).reshape(-1)
+            inputs = onlz_sel[rows, j].tobytes()
         else:
             inputs = b""
-        out[int(r)] = (recons, corrs, inputs)
+        out.append((recons, corrs, inputs))
     return out
 
 
@@ -224,12 +222,49 @@ class TpuKKW:
         self.params = params
         self.cc = compile_program(program)
         self._executors: Dict[tuple, Executor] = {}
+        self._hash_fns: Dict[tuple, object] = {}
 
     def _executor(self, mode: int, R: int) -> Executor:
         key = (mode, R)
         if key not in self._executors:
             self._executors[key] = Executor(self.cc, mode, total_reps=R)
         return self._executors[key]
+
+    def _hash_fn(self, with_comm: bool):
+        """Jitted device transcript-hash pipeline.
+
+        Maps the four stream buffers to per-rep combined hashes
+        (transcript/mod.rs:77-96 + combine.rs:104-118) entirely on device;
+        `with_comm` replaces the online hashes with committed values
+        (preprocess verification, verifier/preprocess.rs:55-57)."""
+        import jax
+
+        from ..crypto.kernels.blake3_jax import hash_columns, hash_pair_columns
+
+        key = (with_comm,)
+        if key in self._hash_fns:
+            return self._hash_fns[key]
+        cc = self.cc
+
+        if with_comm:
+            def fn(onl2, pre2, onlz, prez, comm2, commz):
+                hp2 = hash_columns(pre2, cc.pre2)
+                hpz = hash_columns(prez, cc.prez)
+                h2 = hash_pair_columns(hp2, comm2)
+                hz = hash_pair_columns(hpz, commz)
+                return hash_pair_columns(h2, hz), comm2, commz
+        else:
+            def fn(onl2, pre2, onlz, prez):
+                ho2 = hash_columns(onl2, cc.onl2)
+                hoz = hash_columns(onlz, cc.onlz)
+                hp2 = hash_columns(pre2, cc.pre2)
+                hpz = hash_columns(prez, cc.prez)
+                h2 = hash_pair_columns(hp2, ho2)
+                hz = hash_pair_columns(hpz, hoz)
+                return hash_pair_columns(h2, hz), ho2, hoz
+
+        self._hash_fns[key] = jax.jit(fn)
+        return self._hash_fns[key]
 
     # -- proving ------------------------------------------------------------
     def prove(self, wit_gf2, wit_z64, seeds: Optional[np.ndarray] = None) -> Proof:
@@ -257,13 +292,13 @@ class TpuKKW:
             wit2=wit2[: cc.n_wit2], witz_lo=wl, witz_hi=wh,
         )
         out = self._executor(PROVER, R)(inp)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        if np.any(out["fail"]):
+        if np.any(np.asarray(out["fail"])):
             raise AssertionError("witness is invalid (AssertZero failed)")
 
-        h2, ho2 = domain_rep_hashes(out["onl2"], out["pre2"], cc.onl2, cc.pre2)
-        hz, hoz = domain_rep_hashes(out["onlz"], out["prez"], cc.onlz, cc.prez)
-        rep_h = combined_rep_hashes(h2, hz)  # (R, 32)
+        rep_h, ho2, hoz = self._hash_fn(False)(
+            out["onl2"], out["pre2"], out["onlz"], out["prez"]
+        )
+        rep_h, ho2, hoz = np.asarray(rep_h), np.asarray(ho2), np.asarray(hoz)
         comm = blake3(rep_h.tobytes())
 
         open_map = challenge_to_opening(comm, params)
@@ -271,19 +306,32 @@ class TpuKKW:
         for rep, p in open_map.items():
             omit[rep] = p
 
-        open2 = extract_gf2_openings(cc, out["onl2"], out["pre2"], omit)
-        openz = extract_z64_openings(cc, out["onlz"], out["prez"], omit)
+        # pull only the opened columns off-device (40 of 256 streams)
+        import jax.numpy as jnp
+
+        cols = np.nonzero(omit < 8)[0]
+        omit_sel = omit[cols]
+        jcols = jnp.asarray(cols)
+        onl2_sel = np.asarray(jnp.take(out["onl2"], jcols, axis=1))
+        pre2_sel = np.asarray(jnp.take(out["pre2"], jcols, axis=1))
+        onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
+        prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
+
+        open2 = extract_gf2_openings(cc, onl2_sel, pre2_sel, omit_sel)
+        openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
 
         p2 = ProofSingle([], [])
         pz = ProofSingle([], [])
+        j = 0
         for r in range(R):
             if omit[r] < 8:
                 ks = player_keys[r].copy()
                 ks[omit[r]] = 0
-                rec, cor, inpt = open2[r]
+                rec, cor, inpt = open2[j]
                 p2.online.append(OpenOnline(int(omit[r]), ks.tobytes(), rec, cor, inpt))
-                rec, cor, inpt = openz[r]
+                rec, cor, inpt = openz[j]
                 pz.online.append(OpenOnline(int(omit[r]), ks.tobytes(), rec, cor, inpt))
+                j += 1
             else:
                 p2.preprocessing.append(
                     OpenPreprocessing(seeds[r].tobytes(), ho2[r].tobytes())
@@ -314,12 +362,12 @@ class TpuKKW:
         _, tz_lo, tz_hi = build_tapes(player_keysz, omitz, 0, cc.mz)
         inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
         out = self._executor(VERIFY_ONL, Ro)(inp)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        if strict_zero_check and np.any(out["fail"]):
+        if strict_zero_check and np.any(np.asarray(out["fail"])):
             return False
-        h2, _ = domain_rep_hashes(out["onl2"], out["pre2"], cc.onl2, cc.pre2)
-        hz, _ = domain_rep_hashes(out["onlz"], out["prez"], cc.onlz, cc.prez)
-        hashes_online = combined_rep_hashes(h2, hz)  # (40, 32)
+        rep_h, _, _ = self._hash_fn(False)(
+            out["onl2"], out["pre2"], out["onlz"], out["prez"]
+        )
+        hashes_online = np.asarray(rep_h)  # (40, 32)
 
         # ---- preprocessing re-execution -----------------------------------
         Rp = params.preprocessing_reps
@@ -341,10 +389,10 @@ class TpuKKW:
         _, tz_lo, tz_hi = build_tapes(pkz, None, 0, cc.mz)
         inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
         out = self._executor(VERIFY_PRE, Rp)(inp)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        h2, _ = domain_rep_hashes(out["onl2"], out["pre2"], cc.onl2, cc.pre2, comm_online=comm2)
-        hz, _ = domain_rep_hashes(out["onlz"], out["prez"], cc.onlz, cc.prez, comm_online=commz)
-        hashes_pre = combined_rep_hashes(h2, hz)  # (216, 32)
+        rep_h, _, _ = self._hash_fn(True)(
+            out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz
+        )
+        hashes_pre = np.asarray(rep_h)  # (216, 32)
 
         # ---- reorder + commitment check -----------------------------------
         open_map = challenge_to_opening(proof.comm, params)
