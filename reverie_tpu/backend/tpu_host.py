@@ -230,6 +230,35 @@ class TpuKKW:
             self._executors[key] = Executor(self.cc, mode, total_reps=R)
         return self._executors[key]
 
+    def _gf2_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
+        """GF2 mask tape via the bitsliced device AES kernel (host AES for
+        tiny tapes, where kernel-launch overhead dominates)."""
+        cc = self.cc
+        if cc.m2 == 0:
+            return np.zeros((0, player_keys.shape[0]), np.uint8)
+        R = player_keys.shape[0]
+        nbytes = ((cc.m2 + BATCH - 1) // BATCH) * GF2_BATCH_BYTES
+        nblocks = nbytes // 16
+        if cc.m2 < 4096 or (R * 8) % 32 != 0:
+            t2, _, _ = build_tapes(player_keys, omit, cc.m2, 0)
+            return t2
+        import jax
+        import jax.numpy as jnp
+
+        from ..crypto.kernels import aes_jax as aj
+
+        if "aes" not in self._hash_fns:
+            self._hash_fns["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
+        rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
+        ctrp = aj.counter_planes(nblocks)
+        if omit is None:
+            mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+        else:
+            mask = aj.lane_mask_from_omit(omit, R)
+        return self._hash_fns["aes"](
+            jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
+        )
+
     def _hash_fn(self, with_comm: bool):
         """Jitted device transcript-hash pipeline.
 
@@ -279,7 +308,8 @@ class TpuKKW:
         seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(R, KEY_SIZE)
 
         player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
-        tape2, tz_lo, tz_hi = build_tapes(player_keys, None, cc.m2, cc.mz)
+        tape2 = self._gf2_tape(player_keys, None)
+        _, tz_lo, tz_hi = build_tapes(player_keys, None, 0, cc.mz)
 
         wit2 = np.asarray([1 if b else 0 for b in wit_gf2], dtype=np.uint8)
         witz = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wit_z64], dtype=U64)
@@ -358,7 +388,7 @@ class TpuKKW:
         player_keysz = np.stack(
             [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
         )
-        tape2, _, _ = build_tapes(player_keys, omit, cc.m2, 0)
+        tape2 = self._gf2_tape(player_keys, omit)
         _, tz_lo, tz_hi = build_tapes(player_keysz, omitz, 0, cc.mz)
         inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
         out = self._executor(VERIFY_ONL, Ro)(inp)
@@ -385,7 +415,7 @@ class TpuKKW:
         )
         pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
         pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
-        tape2, _, _ = build_tapes(pk2, None, cc.m2, 0)
+        tape2 = self._gf2_tape(pk2, None)
         _, tz_lo, tz_hi = build_tapes(pkz, None, 0, cc.mz)
         inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
         out = self._executor(VERIFY_PRE, Rp)(inp)

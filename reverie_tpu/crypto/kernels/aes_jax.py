@@ -1,0 +1,179 @@
+"""Bitsliced AES-128-CTR on device (JAX/XLA) -> GF2 mask-tape generation.
+
+The reference's PRG is AES-128-CTR with AES-NI (crypto/prg.rs:13-38); here
+the cipher is evaluated as a bitsliced boolean circuit on the VPU:
+
+  * lanes: 32 AES instances per u32 word; key order is rep-major
+    (key k = rep*8 + player), so one u32 word holds 4 reps x 8 players --
+    exactly one packed tape word for 4 repetitions.
+  * state: 8 bit-planes, each a (16 bytes, B blocks, Kw words) u32 tensor;
+    SubBytes is the 113-gate Boyar-Peralta circuit vectorized over all
+    bytes/blocks/lanes; ShiftRows is a byte-axis permutation; MixColumns a
+    handful of plane XORs.
+  * round keys differ per lane: bit-planes (11, 16, 8, Kw) broadcast over B.
+
+Output feeds the executor's GF2 tape directly: (B*128, 4*Kw) uint8 where
+byte column r is repetition r's 8 player bits (bit 7-p = player p),
+byte-identical to the host AES + bit-transpose path (differentially tested).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sbox_circuit import sbox_bitsliced
+
+U32 = jnp.uint32
+
+
+def _xor(a, b):
+    return a ^ b
+
+
+def _and(a, b):
+    return a & b
+
+
+def _not(a):
+    return ~a
+
+
+def _xtime(bits):
+    """x2 in GF(2^8), AES polynomial 0x11B, on 8 LSB-first bit-planes."""
+    b = bits
+    return [
+        b[7],
+        b[0] ^ b[7],
+        b[1],
+        b[2] ^ b[7],
+        b[3] ^ b[7],
+        b[4],
+        b[5],
+        b[6],
+    ]
+
+
+def _sub_bytes(planes):
+    """planes: list of 8 (16, B, Kw) tensors, LSB-first bit order."""
+    msb_first = [planes[7 - i] for i in range(8)]
+    out = sbox_bitsliced(msb_first, _xor, _and, _not)
+    return [out[7 - i] for i in range(8)]  # back to LSB-first
+
+
+# byte index 4c+r <- old byte 4((c+r)%4)+r
+_SHIFT_ROWS = np.array([4 * ((i // 4 + i % 4) % 4) + (i % 4) for i in range(16)])
+
+
+def _shift_rows(planes):
+    perm = jnp.asarray(_SHIFT_ROWS)
+    return [p[perm] for p in planes]
+
+
+def _mix_columns(planes):
+    """planes: 8 x (16, B, Kw).  Byte index = 4*col + row."""
+    rows = [[p[r::4] for p in planes] for r in range(4)]  # rows[r][bit] (4, B, Kw)
+    xt = [_xtime(rows[r]) for r in range(4)]
+
+    def x5(a, b, c, d, e):
+        return a ^ b ^ c ^ d ^ e
+
+    new_rows = [
+        [x5(xt[0][i], xt[1][i], rows[1][i], rows[2][i], rows[3][i]) for i in range(8)],
+        [x5(rows[0][i], xt[1][i], xt[2][i], rows[2][i], rows[3][i]) for i in range(8)],
+        [x5(rows[0][i], rows[1][i], xt[2][i], xt[3][i], rows[3][i]) for i in range(8)],
+        [x5(xt[0][i], rows[0][i], rows[1][i], rows[2][i], xt[3][i]) for i in range(8)],
+    ]
+    out = []
+    for i in range(8):
+        # byte 4c+r: stack rows on a new axis after the column axis
+        stacked = jnp.stack([new_rows[r][i] for r in range(4)], axis=1)  # (4c, 4r, B, Kw)
+        out.append(stacked.reshape(16, *stacked.shape[2:]))
+    return out
+
+
+def _add_round_key(planes, rkp_round):
+    """rkp_round: (16, 8, Kw) u32."""
+    return [p ^ rkp_round[:, i, None, :] for i, p in enumerate(planes)]
+
+
+def aes_ctr_tape_gf2(rkp, ctrp, lane_mask):
+    """rkp: (11, 16, 8, Kw) u32 round-key planes; ctrp: (16, 8, B) uint8
+    counter-block bit values (0/1); lane_mask: (Kw,) u32 (omitted-player
+    lanes zeroed).  Returns (B*128, 4*Kw) uint8 GF2 tape."""
+    Kw = rkp.shape[-1]
+    B = ctrp.shape[-1]
+
+    # initial AddRoundKey: ctr (broadcast over lanes) ^ rk0 (broadcast over B)
+    planes = [
+        (jnp.where(ctrp[:, i, :, None] != 0, jnp.asarray(0xFFFFFFFF, U32), jnp.asarray(0, U32))
+         ^ rkp[0][:, i, None, :])
+        for i in range(8)
+    ]
+    for rnd in range(1, 10):
+        planes = _sub_bytes(planes)
+        planes = _shift_rows(planes)
+        planes = _mix_columns(planes)
+        planes = _add_round_key(planes, rkp[rnd])
+        planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    planes = _sub_bytes(planes)
+    planes = _shift_rows(planes)
+    planes = _add_round_key(planes, rkp[10])
+    planes = list(jax.lax.optimization_barrier(tuple(planes)))
+
+    # assemble tape words: m = block*128 + byte*8 + j uses bit (7-j)
+    stacked = jnp.stack([planes[7 - j] for j in range(8)], axis=1)  # (16, 8, B, Kw)
+    words = jnp.transpose(stacked, (2, 0, 1, 3)).reshape(B * 128, Kw)
+
+    # bit-reverse within each byte: tape wants player p at bit (7-p)
+    m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
+    words = ((words & m1) << 1) | ((words >> 1) & m1)
+    words = ((words & m2_) << 2) | ((words >> 2) & m2_)
+    words = ((words & m4) << 4) | ((words >> 4) & m4)
+    words = words & lane_mask[None, :]
+
+    by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (B*128, Kw, 4)
+    return by.reshape(B * 128, Kw * 4)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation
+# ---------------------------------------------------------------------------
+
+
+def round_key_planes(player_keys: np.ndarray) -> np.ndarray:
+    """player_keys: (K, 16) uint8, K % 32 == 0 -> (11, 16, 8, K//32) u32."""
+    from ..prg import key_expand_batch
+
+    K = player_keys.shape[0]
+    assert K % 32 == 0
+    rks = key_expand_batch(player_keys)  # (K, 11, 16) uint8
+    bits = np.unpackbits(rks[..., None], axis=-1, bitorder="little")  # (K,11,16,8)
+    bits = np.transpose(bits, (1, 2, 3, 0))  # (11, 16, 8, K)
+    packed = np.packbits(bits, axis=-1, bitorder="little")  # (11,16,8,K/8)
+    return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)
+
+
+def counter_planes(n_blocks: int, start_block: int = 0) -> np.ndarray:
+    """(16, 8, B) uint8: bit values of the big-endian CTR blocks."""
+    ctr = np.arange(start_block, start_block + n_blocks, dtype=np.uint64)
+    blocks = np.zeros((n_blocks, 16), dtype=np.uint8)
+    for j in range(8):
+        blocks[:, 15 - j] = (ctr >> np.uint64(8 * j)).astype(np.uint8)
+    bits = np.unpackbits(blocks[..., None], axis=-1, bitorder="little")  # (B,16,8)
+    return np.ascontiguousarray(np.transpose(bits, (1, 2, 0)))
+
+
+def lane_mask_from_omit(omit: np.ndarray, R: int) -> np.ndarray:
+    """omit: (R,) player index (8 = none) -> (R*8//32,) u32 lane mask.
+
+    Built in the POST-bit-reversal layout of the tape words: rep r's byte has
+    player p at bit (7-p)."""
+    mask = np.full(R * 8, 1, dtype=np.uint8)
+    for r in range(R):
+        p = int(omit[r])
+        if p < 8:
+            mask[r * 8 + 7 - p] = 0
+    packed = np.packbits(mask, bitorder="little")
+    return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)

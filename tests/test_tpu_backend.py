@@ -70,3 +70,15 @@ def test_tpu_invalid_witness():
     # valid witness passes
     proof = sys_.prove([False], [], seeds=seeds256())
     assert sys_.verify(proof)
+
+
+def test_device_aes_tape_path():
+    """m2 > 4096 routes tape generation through the bitsliced device AES
+    kernel; proof bytes must still match the host-AES golden backend."""
+    prog, wit2, witz = mul_bench_circuit(2500)  # m2 = 5002 > 4096
+    s = seeds256()
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    sys_ = TpuKKW(prog)
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
