@@ -224,10 +224,23 @@ class TpuKKW:
         self._executors: Dict[tuple, Executor] = {}
         self._hash_fns: Dict[tuple, object] = {}
 
-    def _executor(self, mode: int, R: int) -> Executor:
+    #: depth beyond which GF2-only circuits use the lax.scan executor
+    SCAN_DEPTH_THRESHOLD = 128
+
+    def _executor(self, mode: int, R: int):
         key = (mode, R)
         if key not in self._executors:
-            self._executors[key] = Executor(self.cc, mode, total_reps=R)
+            cc = self.cc
+            if (
+                cc.depth > self.SCAN_DEPTH_THRESHOLD
+                and cc.n_valsz <= 1
+                and cc.mz == 0
+            ):
+                from .tpu_scan import ScanExecutor
+
+                self._executors[key] = ScanExecutor(cc, mode, total_reps=R)
+            else:
+                self._executors[key] = Executor(self.cc, mode, total_reps=R)
         return self._executors[key]
 
     def _gf2_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):

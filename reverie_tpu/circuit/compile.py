@@ -325,3 +325,132 @@ def compile_program(program: Sequence[CombineOp]) -> CompiledCircuit:
         corr_slotsz=np.asarray(co_slotsz, dtype=np.int64),
         recon_slotsz=np.asarray(re_slotsz, dtype=np.int64),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave tables for the scan-mode executor (deep circuits)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class WaveTable:
+    """Uniform (n_waves, W) gate tables for lax.scan execution.
+
+    Every slot carries a unified gate encoding; unused fields point at trash
+    rows (dst = n_vals, onl/pre = stream length) so the scan body is fully
+    uniform.  GF2-only (the scan path rejects z64/B2A circuits for now).
+    """
+
+    op: np.ndarray  # (n, W) int32 opcode (G_*)
+    dst: np.ndarray
+    a: np.ndarray
+    b: np.ndarray
+    t0: np.ndarray  # tape index (INPUT/RANDOM mask, MUL mask_ab)
+    t1: np.ndarray  # MUL mask_new
+    wit: np.ndarray  # witness index (INPUT)
+    inrec: np.ndarray  # input record index (INPUT)
+    rec: np.ndarray  # recon record index (MUL/ASSERT)
+    corr: np.ndarray  # correction record index (MUL)
+    onl: np.ndarray  # online byte slot (or trash)
+    pre: np.ndarray  # preprocess byte slot (or trash)
+    cbit: np.ndarray  # constant bit
+
+    @property
+    def n_waves(self) -> int:
+        return self.op.shape[0]
+
+
+_NOP = 127  # opcode for padding slots
+
+
+def build_waves(cc: CompiledCircuit, W: int = 256) -> WaveTable:
+    """Pack the levelized gates into fixed-width waves.
+
+    A gate lands in the first non-full wave strictly after the waves that
+    produced its operands (SSA guarantees correctness for any such packing).
+    """
+    n_cols = 13
+    waves: List[Dict[str, List]] = []
+    fill: List[int] = []
+    wave_of_val = np.zeros(max(cc.n_vals2, 1), dtype=np.int64)
+    wave_of_val[:] = -1
+    trash_dst = cc.n_vals2
+    trash_onl = cc.onl2
+    trash_pre = cc.pre2
+
+    def new_wave() -> int:
+        waves.append({k: [] for k in (
+            "op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec", "corr",
+            "onl", "pre", "cbit")})
+        fill.append(0)
+        return len(waves) - 1
+
+    first_free = 0  # earliest wave that may have space
+
+    def place(w_min: int, **cols) -> int:
+        w = max(w_min, 0)
+        while True:
+            while w >= len(waves):
+                new_wave()
+            if fill[w] < W:
+                break
+            w += 1
+        tbl = waves[w]
+        for k in ("op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec",
+                  "corr", "onl", "pre", "cbit"):
+            tbl[k].append(cols.get(k, 0))
+        fill[w] += 1
+        return w
+
+    for lvl_tables in cc.levels:
+        for key, cols in sorted(lvl_tables.items()):
+            domain, kind = divmod(key, N_KINDS)
+            if domain != GF2 or kind in (B2A_CORR, B2A_OUT):
+                raise ValueError("scan mode supports GF2-only circuits without B2A")
+            n = len(next(iter(cols.values())))
+            for i in range(n):
+                g = {k: int(v[i]) for k, v in cols.items()}
+                deps = []
+                for dep_key in ("a", "b"):
+                    if dep_key in g:
+                        deps.append(wave_of_val[g[dep_key]])
+                w_min = (max(deps) + 1) if deps else 0
+                row = dict(
+                    op=kind,
+                    dst=g.get("dst", trash_dst),
+                    a=g.get("a", 0),
+                    b=g.get("b", 0),
+                    t0=g.get("tape", g.get("tape_ab", 0)),
+                    t1=g.get("tape_new", 0),
+                    wit=g.get("wit", 0),
+                    inrec=g.get("rec", 0) if kind == G_INPUT else 0,
+                    rec=g.get("rec", 0) if kind in (G_MUL, G_ASSERT) else 0,
+                    corr=g.get("corr", 0),
+                    onl=g.get("onl", trash_onl) if kind in (G_MUL, G_ASSERT, G_INPUT) else trash_onl,
+                    pre=g.get("pre", trash_pre) if kind == G_MUL else trash_pre,
+                    cbit=int(g.get("const", 0)) & 1,
+                )
+                w = place(w_min, **row)
+                if "dst" in g:
+                    wave_of_val[g["dst"]] = w
+
+    # pad every wave to W with NOP slots
+    for tbl, cnt in zip(waves, fill):
+        pad = W - cnt
+        for _ in range(pad):
+            tbl["op"].append(_NOP)
+            tbl["dst"].append(trash_dst)
+            for k in ("a", "b", "t0", "t1", "wit", "inrec", "rec", "corr", "cbit"):
+                tbl[k].append(0)
+            tbl["onl"].append(trash_onl)
+            tbl["pre"].append(trash_pre)
+
+    def arr(name):
+        return np.asarray([tbl[name] for tbl in waves], dtype=np.int32)
+
+    return WaveTable(
+        op=arr("op"), dst=arr("dst"), a=arr("a"), b=arr("b"),
+        t0=arr("t0"), t1=arr("t1"), wit=arr("wit"), inrec=arr("inrec"),
+        rec=arr("rec"), corr=arr("corr"), onl=arr("onl"), pre=arr("pre"),
+        cbit=arr("cbit"),
+    )

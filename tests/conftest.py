@@ -14,3 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Cache XLA compilations across test runs (compile dominates suite time).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

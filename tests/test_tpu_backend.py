@@ -82,3 +82,19 @@ def test_device_aes_tape_path():
     tpu_proof = sys_.prove(wit2, witz, seeds=s)
     assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(tpu_proof)
+
+
+def test_scan_executor_deep_circuit():
+    """Deep GF2 circuits route through the lax.scan executor; proof bytes
+    must match the golden backend (exercises wave packing + unified body)."""
+    prog, wit2, witz = wide_and_circuit(700, width=8, seed=11)
+    s = seeds256()
+    sys_ = TpuKKW(prog)
+    assert sys_.cc.depth > TpuKKW.SCAN_DEPTH_THRESHOLD
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+
+    assert isinstance(sys_._executor(0, 256), ScanExecutor)
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
