@@ -196,7 +196,8 @@ class Executor:
         if kind == G_INPUT:
             m = jnp.take(inp["tape2"], cols["tape"], axis=0)
             if mode == PROVER:
-                wit = jnp.take(inp["wit2"], cols["wit"])[:, None]
+                # wit2: (n_wit, R) -- per-lane witness (supports proof batching)
+                wit = jnp.take(inp["wit2"], cols["wit"], axis=0)
                 corr = wit ^ _parity8(m)
             elif mode == VERIFY_ONL:
                 corr = jnp.take(inp["in2"], cols["rec"], axis=0)
@@ -305,11 +306,9 @@ class Executor:
             lo, hi = tape_row(cols["tape"])
             rlo, rhi = _recon_sum(lo, hi)
             if mode == PROVER:
-                wlo = jnp.take(inp["witz_lo"], cols["wit"])[:, None]
-                whi = jnp.take(inp["witz_hi"], cols["wit"])[:, None]
-                clo, chi = up.sub64(
-                    jnp.broadcast_to(wlo, rlo.shape), jnp.broadcast_to(whi, rhi.shape), rlo, rhi
-                )
+                wlo = jnp.take(inp["witz_lo"], cols["wit"], axis=0)
+                whi = jnp.take(inp["witz_hi"], cols["wit"], axis=0)
+                clo, chi = up.sub64(wlo, whi, rlo, rhi)
             elif mode == VERIFY_ONL:
                 clo = jnp.take(inp["inz_lo"], cols["rec"], axis=0)
                 chi = jnp.take(inp["inz_hi"], cols["rec"], axis=0)

@@ -332,7 +332,11 @@ class TpuKKW:
 
         inp = dict(
             tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
-            wit2=wit2[: cc.n_wit2], witz_lo=wl, witz_hi=wh,
+            wit2=np.ascontiguousarray(
+                np.broadcast_to(wit2[: cc.n_wit2, None], (cc.n_wit2, R))
+            ),
+            witz_lo=np.ascontiguousarray(np.broadcast_to(wl[:, None], (cc.n_witz, R))),
+            witz_hi=np.ascontiguousarray(np.broadcast_to(wh[:, None], (cc.n_witz, R))),
         )
         out = self._executor(PROVER, R)(inp)
         if np.any(np.asarray(out["fail"])):
@@ -383,6 +387,104 @@ class TpuKKW:
                     OpenPreprocessing(seeds[r].tobytes(), hoz[r].tobytes())
                 )
         return Proof(comm, p2, pz)
+
+    # -- batch proving ------------------------------------------------------
+    def prove_batch(self, witnesses, seeds: Optional[np.ndarray] = None):
+        """Prove N independent statements of the same circuit in one device
+        batch (bench config 5).  `witnesses`: list of (wit_gf2, wit_z64);
+        `seeds`: (N, total_reps, 16).  All N x 256 repetitions execute as one
+        lane axis; per-proof challenges/extraction happen on host.
+        Returns a list of Proofs (each independently reference-compatible)."""
+        cc, params = self.cc, self.params
+        N = len(witnesses)
+        R = params.total_reps
+        RT = N * R
+        import os as _os
+
+        if seeds is None:
+            seeds = np.frombuffer(
+                _os.urandom(RT * KEY_SIZE), dtype=np.uint8
+            ).reshape(N, R, KEY_SIZE)
+        seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(N, R, KEY_SIZE)
+
+        player_keys = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(RT, 8, KEY_SIZE)
+        tape2 = self._gf2_tape(player_keys, None)
+        _, tz_lo, tz_hi = build_tapes(player_keys, None, 0, cc.mz)
+
+        wit2 = np.zeros((cc.n_wit2, RT), dtype=np.uint8)
+        wzlo = np.zeros((cc.n_witz, RT), dtype=np.uint32)
+        wzhi = np.zeros((cc.n_witz, RT), dtype=np.uint32)
+        for pidx, (w2, wz) in enumerate(witnesses):
+            a2 = np.asarray([1 if b else 0 for b in w2], dtype=np.uint8)
+            az = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wz], dtype=U64)
+            if len(a2) < cc.n_wit2 or len(az) < cc.n_witz:
+                raise AssertionError("witness is too short")
+            lo, hi = up.from_u64(az[: cc.n_witz])
+            sl = slice(pidx * R, (pidx + 1) * R)
+            wit2[:, sl] = a2[: cc.n_wit2, None]
+            wzlo[:, sl] = lo[:, None]
+            wzhi[:, sl] = hi[:, None]
+
+        inp = dict(
+            tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
+            wit2=wit2, witz_lo=wzlo, witz_hi=wzhi,
+        )
+        out = self._executor(PROVER, RT)(inp)
+        fail = np.asarray(out["fail"]).reshape(N, R)
+        if np.any(fail):
+            bad = int(np.nonzero(fail.any(axis=1))[0][0])
+            raise AssertionError(f"witness {bad} is invalid (AssertZero failed)")
+
+        rep_h, ho2, hoz = self._hash_fn(False)(
+            out["onl2"], out["pre2"], out["onlz"], out["prez"]
+        )
+        rep_h = np.asarray(rep_h).reshape(N, R, 32)
+        ho2 = np.asarray(ho2).reshape(N, R, 32)
+        hoz = np.asarray(hoz).reshape(N, R, 32)
+
+        comms = [blake3(rep_h[pidx].tobytes()) for pidx in range(N)]
+        omits = np.full((N, R), 8, dtype=np.int64)
+        for pidx in range(N):
+            for rep, pl in challenge_to_opening(comms[pidx], params).items():
+                omits[pidx, rep] = pl
+
+        import jax.numpy as jnp
+
+        flat_omit = omits.reshape(RT)
+        cols = np.nonzero(flat_omit < 8)[0]
+        jcols = jnp.asarray(cols)
+        onl2_sel = np.asarray(jnp.take(out["onl2"], jcols, axis=1))
+        pre2_sel = np.asarray(jnp.take(out["pre2"], jcols, axis=1))
+        onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
+        prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
+        omit_sel = flat_omit[cols]
+        open2 = extract_gf2_openings(cc, onl2_sel, pre2_sel, omit_sel)
+        openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
+
+        proofs = []
+        j = 0
+        for pidx in range(N):
+            p2 = ProofSingle([], [])
+            pz = ProofSingle([], [])
+            for r in range(R):
+                omit = int(omits[pidx, r])
+                if omit < 8:
+                    ks = player_keys[pidx * R + r].copy()
+                    ks[omit] = 0
+                    rec, cor, inpt = open2[j]
+                    p2.online.append(OpenOnline(omit, ks.tobytes(), rec, cor, inpt))
+                    rec, cor, inpt = openz[j]
+                    pz.online.append(OpenOnline(omit, ks.tobytes(), rec, cor, inpt))
+                    j += 1
+                else:
+                    p2.preprocessing.append(
+                        OpenPreprocessing(seeds[pidx, r].tobytes(), ho2[pidx, r].tobytes())
+                    )
+                    pz.preprocessing.append(
+                        OpenPreprocessing(seeds[pidx, r].tobytes(), hoz[pidx, r].tobytes())
+                    )
+            proofs.append(Proof(comms[pidx], p2, pz))
+        return proofs
 
     # -- verification -------------------------------------------------------
     def verify(self, proof: Proof, strict_zero_check: bool = True) -> bool:

@@ -121,7 +121,7 @@ class ScanExecutor:
 
             # ---- INPUT ----------------------------------------------------
             if mode == PROVER:
-                in_c = jnp.take(wit2, w["wit"])[:, None] ^ _parity8(t0)
+                in_c = jnp.take(wit2, w["wit"], axis=0) ^ _parity8(t0)
             elif mode == VERIFY_ONL:
                 in_c = jnp.take(in2, w["inrec"], axis=0)
             else:

@@ -98,3 +98,18 @@ def test_scan_executor_deep_circuit():
     tpu_proof = sys_.prove(wit2, witz, seeds=s)
     assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(tpu_proof)
+
+
+def test_prove_batch_matches_single():
+    """Batched proving must produce the same proofs as proving one by one
+    with the same seeds (bench config 5 semantics)."""
+    prog, wit2, witz = mul_bench_circuit(8)
+    rng = np.random.RandomState(9)
+    seeds = rng.randint(0, 256, size=(3, 256, 16), dtype=np.uint8)
+    sys_ = TpuKKW(prog)
+    wits = [(wit2, witz)] * 3
+    batch = sys_.prove_batch(wits, seeds=seeds)
+    for i in range(3):
+        single = sys_.prove(wit2, witz, seeds=seeds[i])
+        assert batch[i].to_bytes() == single.to_bytes(), i
+        assert sys_.verify(batch[i])
