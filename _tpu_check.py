@@ -1,5 +1,7 @@
 import time, numpy as np
-import jax
+import jax, os
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 print('backend:', jax.default_backend(), flush=True)
 from reverie_tpu.circuit.builders import mul_bench_circuit, wide_and_circuit, mixed_b2a_circuit
 from reverie_tpu.backend.tpu_host import TpuKKW
@@ -7,7 +9,7 @@ from reverie_tpu.backend.tpu_host import TpuKKW
 rng = np.random.RandomState(42)
 seeds = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
 golden = {}
-import pickle, os
+import pickle
 if os.path.exists('/tmp/golden_proofs.pkl'):
     golden = pickle.load(open('/tmp/golden_proofs.pkl','rb'))
 
@@ -15,6 +17,7 @@ for name, (prog, wit2, witz) in [
     ('mul20', mul_bench_circuit(20)),
     ('wide_and', wide_and_circuit(50, width=32, seed=7)),
     ('b2a', mixed_b2a_circuit()),
+    ('deep_scan', wide_and_circuit(700, width=8, seed=11)),
 ]:
     t0 = time.time()
     s_ = TpuKKW(prog)

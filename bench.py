@@ -32,6 +32,16 @@ def log(*args):
 
 
 def main() -> None:
+    import jax
+
+    # persistent compile cache: repeated bench runs skip the (expensive)
+    # remote TPU compilation
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from reverie_tpu.backend.tpu_host import TpuKKW
     from reverie_tpu.circuit.builders import mul_bench_circuit
 

@@ -272,6 +272,36 @@ class TpuKKW:
             jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
         )
 
+    def _z64_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
+        """Z64 mask tape via the bitsliced device AES kernel (host AES for
+        tiny tapes)."""
+        cc = self.cc
+        R = player_keys.shape[0]
+        if cc.mz == 0:
+            z = np.zeros((0, R, 8), np.uint32)
+            return z, z
+        if cc.mz < 512 or (R * 8) % 32 != 0:
+            _, lo, hi = build_tapes(player_keys, omit, 0, cc.mz)
+            return lo, hi
+        import jax
+        import jax.numpy as jnp
+
+        from ..crypto.kernels import aes_jax as aj
+
+        if "aesz" not in self._hash_fns:
+            self._hash_fns["aesz"] = jax.jit(aj.aes_ctr_tape_z64)
+        nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
+        B = nbytes // 16
+        rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
+        ctrp = aj.counter_planes(B)
+        if omit is None:
+            mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+        else:
+            mask = aj.lane_mask_raw(omit, R)
+        return self._hash_fns["aesz"](
+            jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
+        )
+
     def _hash_fn(self, with_comm: bool):
         """Jitted device transcript-hash pipeline.
 
@@ -322,7 +352,7 @@ class TpuKKW:
 
         player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
         tape2 = self._gf2_tape(player_keys, None)
-        _, tz_lo, tz_hi = build_tapes(player_keys, None, 0, cc.mz)
+        tz_lo, tz_hi = self._z64_tape(player_keys, None)
 
         wit2 = np.asarray([1 if b else 0 for b in wit_gf2], dtype=np.uint8)
         witz = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wit_z64], dtype=U64)
@@ -409,7 +439,7 @@ class TpuKKW:
 
         player_keys = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(RT, 8, KEY_SIZE)
         tape2 = self._gf2_tape(player_keys, None)
-        _, tz_lo, tz_hi = build_tapes(player_keys, None, 0, cc.mz)
+        tz_lo, tz_hi = self._z64_tape(player_keys, None)
 
         wit2 = np.zeros((cc.n_wit2, RT), dtype=np.uint8)
         wzlo = np.zeros((cc.n_witz, RT), dtype=np.uint32)
@@ -504,7 +534,7 @@ class TpuKKW:
             [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
         )
         tape2 = self._gf2_tape(player_keys, omit)
-        _, tz_lo, tz_hi = build_tapes(player_keysz, omitz, 0, cc.mz)
+        tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
         inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
         out = self._executor(VERIFY_ONL, Ro)(inp)
         if strict_zero_check and np.any(np.asarray(out["fail"])):
@@ -531,7 +561,7 @@ class TpuKKW:
         pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
         pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
         tape2 = self._gf2_tape(pk2, None)
-        _, tz_lo, tz_hi = build_tapes(pkz, None, 0, cc.mz)
+        tz_lo, tz_hi = self._z64_tape(pkz, None)
         inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
         out = self._executor(VERIFY_PRE, Rp)(inp)
         rep_h, _, _ = self._hash_fn(True)(

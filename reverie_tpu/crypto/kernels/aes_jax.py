@@ -177,3 +177,66 @@ def lane_mask_from_omit(omit: np.ndarray, R: int) -> np.ndarray:
             mask[r * 8 + 7 - p] = 0
     packed = np.packbits(mask, bitorder="little")
     return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)
+
+
+def _keystream_planes(rkp, ctrp, lane_mask):
+    """Shared bitsliced AES-CTR core: returns 8 bit-plane tensors
+    (16, B, Kw) u32 of the raw keystream blocks (lane-masked)."""
+    planes = [
+        (jnp.where(ctrp[:, i, :, None] != 0, jnp.asarray(0xFFFFFFFF, U32), jnp.asarray(0, U32))
+         ^ rkp[0][:, i, None, :])
+        for i in range(8)
+    ]
+    for rnd in range(1, 10):
+        planes = _sub_bytes(planes)
+        planes = _shift_rows(planes)
+        planes = _mix_columns(planes)
+        planes = _add_round_key(planes, rkp[rnd])
+        planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    planes = _sub_bytes(planes)
+    planes = _shift_rows(planes)
+    planes = _add_round_key(planes, rkp[10])
+    planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    return [p & lane_mask[None, None, :] for p in planes]
+
+
+def aes_ctr_tape_z64(rkp, ctrp, lane_mask):
+    """Z64 mask tape: (mz_total, R, 8) u32 pairs (lo, hi).
+
+    The z64 tape interprets each (rep, player) keystream as consecutive LE
+    u64 words (z64/batch.rs:25-30).  Bitsliced output planes are transposed
+    back to per-key bytes (8 shift-accumulate passes), then packed into u32
+    pairs.  `lane_mask` is in raw key order (bit k%32 = key k).
+    """
+    Kw = rkp.shape[-1]
+    B = ctrp.shape[-1]
+    K = Kw * 32
+    R = K // 8
+    planes = _keystream_planes(rkp, ctrp, lane_mask)
+
+    # per-key bytes: (16, B, Kw, 32) -> (16, B, K)
+    shifts = jnp.arange(32, dtype=U32)
+    byte_acc = None
+    for bit in range(8):
+        bits = ((planes[bit][..., None] >> shifts) & jnp.asarray(1, U32)).astype(jnp.uint8)
+        contrib = bits << np.uint8(bit)
+        byte_acc = contrib if byte_acc is None else byte_acc | contrib
+    by = byte_acc.reshape(16, B, K)  # (byte_pos, block, key)
+
+    # u64 words: word m = block m//2, bytes 8*(m%2)..+8 (LE)
+    by = jnp.transpose(by, (1, 0, 2)).reshape(B * 2, 8, K)  # (words, 8 bytes, K)
+    b32 = by.astype(U32)
+    lo = b32[:, 0] | (b32[:, 1] << 8) | (b32[:, 2] << 16) | (b32[:, 3] << 24)
+    hi = b32[:, 4] | (b32[:, 5] << 8) | (b32[:, 6] << 16) | (b32[:, 7] << 24)
+    return lo.reshape(B * 2, R, 8), hi.reshape(B * 2, R, 8)
+
+
+def lane_mask_raw(omit: np.ndarray, R: int) -> np.ndarray:
+    """(R,) omit -> (R*8//32,) u32 mask in raw key order (for the z64 tape)."""
+    mask = np.full(R * 8, 1, dtype=np.uint8)
+    for r in range(R):
+        p = int(omit[r])
+        if p < 8:
+            mask[r * 8 + p] = 0
+    packed = np.packbits(mask, bitorder="little")
+    return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)

@@ -5,19 +5,20 @@ Hashes many equal-length byte streams at once: the transcript buffers are
 (reference absorbs these sequentially into per-rep hashers,
 crypto/hash.rs:28-104; here all R streams hash in parallel as vector lanes).
 
-The compression function is 7 rounds x 8 G-mixes of u32 add/xor/rotate --
-pure VPU work.  Blocks chain sequentially within a chunk (lax.scan); chunks
-are independent (vectorized); the chunk tree reduces with the spec's
-left-biased split (largest power of two strictly less than n).
+Implementation notes:
 
-Implementation note: the hash state is threaded as *tuples of arrays*, never
-stacked -- `jnp.stack` on the deep compression graph sends XLA's fusion
-planner into superlinear compile times (hours for a 16-block chunk).
+  * The 4x4 state is held as row tensors (4, ...): each round is two
+    *vectorized* G mixes (column phase, then diagonal phase via rolls)
+    instead of eight scalar G calls -- ~3x fewer XLA ops, same math.
+  * Blocks chain within a chunk via `lax.scan`; chunks vectorize as lanes.
+  * The left-biased chunk tree reduces with one *batched* compress per tree
+    level (level-wise adjacent pairing with odd-last promotion is exactly
+    BLAKE3's tree shape) -- not one compress per node.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,51 +34,79 @@ IV = np.array(
 MSG_PERM = np.array([2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8])
 CHUNK_START, CHUNK_END, PARENT, ROOT = 1, 2, 4, 8
 
+# message index schedule: for each round, the column-phase (mx, my) and
+# diagonal-phase (mx, my) word indices, 4 lanes each
+_SCHED = []
+_perm = np.arange(16)
+for _ in range(7):
+    _SCHED.append(
+        (
+            _perm[[0, 2, 4, 6]].copy(),
+            _perm[[1, 3, 5, 7]].copy(),
+            _perm[[8, 10, 12, 14]].copy(),
+            _perm[[9, 11, 13, 15]].copy(),
+        )
+    )
+    _perm = _perm[MSG_PERM]
+
 
 def _rotr(x, n: int):
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
 
 
-def _g(v, a, b, c, d, mx, my):
-    v[a] = v[a] + v[b] + mx
-    v[d] = _rotr(v[d] ^ v[a], 16)
-    v[c] = v[c] + v[d]
-    v[b] = _rotr(v[b] ^ v[c], 12)
-    v[a] = v[a] + v[b] + my
-    v[d] = _rotr(v[d] ^ v[a], 8)
-    v[c] = v[c] + v[d]
-    v[b] = _rotr(v[b] ^ v[c], 7)
+def _g_vec(a, b, c, d, mx, my):
+    a = a + b + mx
+    d = _rotr(d ^ a, 16)
+    c = c + d
+    b = _rotr(b ^ c, 12)
+    a = a + b + my
+    d = _rotr(d ^ a, 8)
+    c = c + d
+    b = _rotr(b ^ c, 7)
+    return a, b, c, d
 
 
-def compress(cv: Sequence, m: Sequence, counter_lo, counter_hi, block_len, flags,
-             full: bool = False):
-    """One vectorized compression on tuple state.
+def _roll(x, k: int):
+    return jnp.roll(x, -k, axis=0)
 
-    cv: 8 arrays; m: 16 arrays (broadcast-compatible); counters/len/flags:
-    scalars or arrays.  Returns tuple of 8 (or 16 when `full`) arrays.
+
+def compress_rows(r0, r1, m, counter_lo, counter_hi, block_len, flags,
+                  full: bool = False):
+    """One vectorized compression.
+
+    r0, r1: (4, S) u32 state rows (cv words 0-3, 4-7); m: (16, S) u32 message
+    words; counters/len/flags broadcastable to S.  Returns (out0, out1) and,
+    when `full`, additionally (hi0, hi1) = rows v[8..16] ^ cv.
     """
-    shape = cv[0].shape
-    bc = lambda x: jnp.broadcast_to(jnp.asarray(x, U32), shape).astype(U32)
-    v = list(cv[:8])
-    v += [bc(IV[0]), bc(IV[1]), bc(IV[2]), bc(IV[3]),
-          bc(counter_lo), bc(counter_hi), bc(block_len), bc(flags)]
-    msg = list(m)
-    perm = np.arange(16)
-    for _ in range(7):
-        p = perm
-        _g(v, 0, 4, 8, 12, msg[p[0]], msg[p[1]])
-        _g(v, 1, 5, 9, 13, msg[p[2]], msg[p[3]])
-        _g(v, 2, 6, 10, 14, msg[p[4]], msg[p[5]])
-        _g(v, 3, 7, 11, 15, msg[p[6]], msg[p[7]])
-        _g(v, 0, 5, 10, 15, msg[p[8]], msg[p[9]])
-        _g(v, 1, 6, 11, 12, msg[p[10]], msg[p[11]])
-        _g(v, 2, 7, 8, 13, msg[p[12]], msg[p[13]])
-        _g(v, 3, 4, 9, 14, msg[p[14]], msg[p[15]])
-        perm = perm[MSG_PERM]
-    out = tuple(v[i] ^ v[i + 8] for i in range(8))
+    S = r0.shape[1:]
+    bc = lambda x: jnp.broadcast_to(jnp.asarray(x, U32), S).astype(U32)
+    a, b = r0, r1
+    c = jnp.broadcast_to(jnp.asarray(IV[:4])[(slice(None),) + (None,) * len(S)], (4,) + S).astype(U32)
+    d = jnp.stack(
+        [bc(counter_lo), bc(counter_hi), bc(block_len), bc(flags)], axis=0
+    )
+    for rnd in range(7):
+        cx, cy, dx, dy = _SCHED[rnd]
+        a, b, c, d = _g_vec(a, b, c, d, m[cx], m[cy])
+        b, c, d = _roll(b, 1), _roll(c, 2), _roll(d, 3)
+        a, b, c, d = _g_vec(a, b, c, d, m[dx], m[dy])
+        b, c, d = _roll(b, 3), _roll(c, 2), _roll(d, 1)
+    out0 = a ^ c
+    out1 = b ^ d
     if full:
-        return out + tuple(v[i + 8] ^ cv[i] for i in range(8))
-    return out
+        return out0, out1, c ^ r0, d ^ r1
+    return out0, out1
+
+
+def _iv_rows(S) -> Tuple:
+    shape = (4,) + tuple(S)
+    r0 = jnp.broadcast_to(
+        jnp.asarray(IV[:4])[(slice(None),) + (None,) * len(S)], shape
+    ).astype(U32)
+    r1 = jnp.broadcast_to(
+        jnp.asarray(IV[4:])[(slice(None),) + (None,) * len(S)], shape
+    ).astype(U32)
+    return r0, r1
 
 
 def _bytes_to_words(buf):
@@ -87,50 +116,58 @@ def _bytes_to_words(buf):
     return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
 
 
-def _iv_state(shape) -> Tuple:
-    return tuple(jnp.full(shape, int(IV[i]), U32) for i in range(8))
-
-
 def _chunk_cvs(words, nblocks: int, block_lens: np.ndarray, counters: np.ndarray,
                last_flags_extra: int = 0):
-    """words: (n_chunks, nblocks, 16, R) u32 -> tuple of 8 (n_chunks, R) CVs."""
+    """words: (n_chunks, nblocks, 16, R) u32 -> (r0, r1) each (4, n_chunks, R)."""
     n_chunks, _, _, R = words.shape
-    cv = _iv_state((n_chunks, R))
+    r0, r1 = _iv_rows((n_chunks, R))
     ctr = jnp.asarray(counters, U32).reshape(n_chunks, 1)
 
     flags = np.zeros(nblocks, np.uint32)
     flags[0] |= CHUNK_START
     flags[-1] |= CHUNK_END | last_flags_extra
 
-    # xs: 16 message-word arrays of (nblocks, n_chunks, R) + lens + flags
-    ms = tuple(words[:, :, i, :].swapaxes(0, 1) for i in range(16))
+    ms = jnp.swapaxes(words, 0, 1)  # (nblocks, n_chunks, 16, R)
+    ms = jnp.swapaxes(ms, 1, 2)  # (nblocks, 16, n_chunks, R)
 
-    def body(cv, xs):
-        blen, flg = xs[16], xs[17]
-        out = compress(cv, xs[:16], ctr, jnp.zeros_like(ctr), blen, flg)
-        return out, None
+    def body(carry, xs):
+        r0, r1 = carry
+        m, blen, flg = xs
+        o0, o1 = compress_rows(r0, r1, m, ctr, jnp.zeros_like(ctr), blen, flg)
+        return (o0, o1), None
 
-    cv, _ = jax.lax.scan(
-        body, cv,
-        ms + (jnp.asarray(block_lens, U32), jnp.asarray(flags, U32)),
+    (r0, r1), _ = jax.lax.scan(
+        body, (r0, r1),
+        (ms, jnp.asarray(block_lens, U32), jnp.asarray(flags, U32)),
     )
-    return cv
+    return r0, r1
 
 
-def _tree_reduce(cvs, is_root: bool):
-    """cvs: tuple of 8 (n, R) -> tuple of 8 (R,) root/subtree CV."""
-    n = cvs[0].shape[0]
-    if n == 1:
-        assert not is_root  # single-chunk root handled in the chunk pass
-        return tuple(c[0] for c in cvs)
-    left = 1
-    while left * 2 < n:
-        left *= 2
-    l = _tree_reduce(tuple(c[:left] for c in cvs), False)
-    r = _tree_reduce(tuple(c[left:] for c in cvs), False)
-    m = l + r  # 16 arrays
-    cv = _iv_state(l[0].shape)
-    return compress(cv, m, 0, 0, 64, PARENT | (ROOT if is_root else 0))
+def _tree_reduce(r0, r1, is_root: bool):
+    """r0, r1: (4, n, R) chunk CVs -> (4, R) root output rows.
+
+    Level-wise adjacent pairing (odd last promoted) == BLAKE3's left-biased
+    tree; one batched compress per level."""
+    n = r0.shape[1]
+    assert n >= 2
+    while n > 2:
+        pairs = n // 2
+        m = jnp.concatenate(
+            [r0[:, 0 : 2 * pairs : 2], r1[:, 0 : 2 * pairs : 2],
+             r0[:, 1 : 2 * pairs : 2], r1[:, 1 : 2 * pairs : 2]],
+            axis=0,
+        )  # (16, pairs, R)
+        c0, c1 = _iv_rows(m.shape[1:])
+        o0, o1 = compress_rows(c0, c1, m, 0, 0, 64, PARENT)
+        if n % 2:
+            r0 = jnp.concatenate([o0, r0[:, -1:]], axis=1)
+            r1 = jnp.concatenate([o1, r1[:, -1:]], axis=1)
+        else:
+            r0, r1 = o0, o1
+        n = r0.shape[1]
+    m = jnp.concatenate([r0[:, 0], r1[:, 0], r0[:, 1], r1[:, 1]], axis=0)
+    c0, c1 = _iv_rows(m.shape[1:])
+    return compress_rows(c0, c1, m, 0, 0, 64, PARENT | (ROOT if is_root else 0))
 
 
 def hash_columns(buf, T: int):
@@ -156,27 +193,29 @@ def hash_columns(buf, T: int):
     tail_lens[nb_tail - 1] = rem - (nb_tail - 1) * 64
 
     if n_chunks == 1:
-        out = _chunk_cvs(words[:, :nb_tail], nb_tail, tail_lens, np.array([0]),
-                         last_flags_extra=ROOT)
-        out = tuple(o[0] for o in out)  # (R,)
+        r0, r1 = _chunk_cvs(words[:, :nb_tail], nb_tail, tail_lens, np.array([0]),
+                            last_flags_extra=ROOT)
+        out = (r0[:, 0], r1[:, 0])
     else:
-        full = _chunk_cvs(words[:-1], 16, np.full(16, 64, np.uint32),
-                          np.arange(n_chunks - 1))
-        tail = _chunk_cvs(words[-1:, :nb_tail], nb_tail, tail_lens,
-                          np.array([n_chunks - 1]))
-        cvs = tuple(jnp.concatenate([f, t], axis=0) for f, t in zip(full, tail))
-        out = _tree_reduce(cvs, True)
+        f0, f1 = _chunk_cvs(words[:-1], 16, np.full(16, 64, np.uint32),
+                            np.arange(n_chunks - 1))
+        t0, t1 = _chunk_cvs(words[-1:, :nb_tail], nb_tail, tail_lens,
+                            np.array([n_chunks - 1]))
+        r0 = jnp.concatenate([f0, t0], axis=1)
+        r1 = jnp.concatenate([f1, t1], axis=1)
+        out = _tree_reduce(r0, r1, True)
 
-    return _words_to_bytes(out)
+    return _rows_to_bytes(out[0], out[1])
 
 
-def _words_to_bytes(w: Sequence):
-    """8 arrays of (R,) u32 -> (R, 32) uint8 little-endian."""
-    w = jax.lax.optimization_barrier(tuple(w))
+def _rows_to_bytes(r0, r1):
+    """r0, r1: (4, R) u32 -> (R, 32) uint8 little-endian of words 0..7."""
+    r0, r1 = jax.lax.optimization_barrier((r0, r1))
     cols = []
-    for i in range(8):
-        for s in (0, 8, 16, 24):
-            cols.append((w[i] >> np.uint32(s)).astype(jnp.uint8))
+    for row in (r0, r1):
+        for i in range(4):
+            for s in (0, 8, 16, 24):
+                cols.append((row[i] >> np.uint32(s)).astype(jnp.uint8))
     return jnp.stack(cols, axis=-1)  # (R, 32)
 
 
@@ -184,7 +223,6 @@ def hash_pair_columns(a, b):
     """a, b: (R, 32) uint8 -> (R, 32) blake3(a || b) per row (single block)."""
     buf = jnp.concatenate([a, b], axis=1)  # (R, 64)
     m = _bytes_to_words(jnp.moveaxis(buf, 0, 1))  # (16, R)
-    cv = _iv_state((a.shape[0],))
-    out = compress(cv, tuple(m[i] for i in range(16)), 0, 0, 64,
-                   CHUNK_START | CHUNK_END | ROOT)
-    return _words_to_bytes(out)
+    r0, r1 = _iv_rows((a.shape[0],))
+    out = compress_rows(r0, r1, m, 0, 0, 64, CHUNK_START | CHUNK_END | ROOT)
+    return _rows_to_bytes(out[0], out[1])

@@ -113,3 +113,14 @@ def test_prove_batch_matches_single():
         single = sys_.prove(wit2, witz, seeds=seeds[i])
         assert batch[i].to_bytes() == single.to_bytes(), i
         assert sys_.verify(batch[i])
+
+
+def test_device_aes_z64_tape_path():
+    """mz > 512 routes z64 tape generation through the device AES kernel."""
+    prog, wit2, witz = z64_mul_bench_circuit(300)  # mz = 602 > 512
+    s = seeds256()
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    sys_ = TpuKKW(prog)
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
