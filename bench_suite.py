@@ -1,0 +1,149 @@
+"""Full benchmark battery (BASELINE.json configs).
+
+Usage: python bench_suite.py [config ...]
+Configs: and1m sha256 z64 batch verify   (default: all)
+
+Each config prints a JSON line to stdout; phase breakdowns go to stderr.
+(The driver's headline bench stays in bench.py.)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _time2(fn):
+    """warmup (compile) + steady-state timing"""
+    t0 = time.time()
+    fn()
+    warm = time.time() - t0
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0, warm
+
+
+def bench_and1m():
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.builders import mul_bench_circuit
+
+    n = int(os.environ.get("BENCH_GATES", 1_000_000))
+    prog, wit2, witz = mul_bench_circuit(n)
+    sys_ = TpuKKW(prog)
+    seeds = np.random.RandomState(0).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    _, dt, warm = _time2(lambda: sys_.prove(wit2, witz, seeds=seeds))
+    log(f"and1m: prove {dt:.2f}s (warm {warm:.1f}s)")
+    print(json.dumps({"metric": "and_gates_per_sec_1m", "value": round(n / dt),
+                      "unit": "gates/s"}))
+    return sys_, prog
+
+
+def bench_sha256():
+    import hashlib
+
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.sha256 import (
+        block_to_witness_bits,
+        sha256_pad_one_block,
+        sha256_preimage_statement,
+    )
+
+    msg = b"benchmark preimage"
+    prog, _ = sha256_preimage_statement(hashlib.sha256(msg).digest())
+    wit = block_to_witness_bits(sha256_pad_one_block(msg))
+    sys_ = TpuKKW(prog)
+    seeds = np.random.RandomState(1).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    proof, dt, warm = _time2(lambda: sys_.prove(wit, [], seeds=seeds))
+    log(f"sha256: prove {dt:.3f}s (warm {warm:.1f}s), proof {len(proof.to_bytes())}B")
+    t0 = time.time()
+    ok = sys_.verify(proof)
+    vt = time.time() - t0
+    t0 = time.time()
+    ok = sys_.verify(proof) and ok
+    vt = time.time() - t0
+    log(f"sha256: verify {vt:.3f}s ok={ok}")
+    assert ok
+    print(json.dumps({"metric": "sha256_prove_latency", "value": round(dt, 4),
+                      "unit": "s"}))
+
+
+def bench_z64():
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.builders import z64_mul_bench_circuit
+
+    n = 20_000
+    prog, wit2, witz = z64_mul_bench_circuit(n)
+    sys_ = TpuKKW(prog)
+    seeds = np.random.RandomState(2).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    _, dt, warm = _time2(lambda: sys_.prove(wit2, witz, seeds=seeds))
+    log(f"z64: {n} mul gates prove {dt:.2f}s (warm {warm:.1f}s)")
+    print(json.dumps({"metric": "z64_mul_gates_per_sec", "value": round(n / dt),
+                      "unit": "gates/s"}))
+
+
+def bench_batch():
+    import hashlib
+
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.sha256 import (
+        block_to_witness_bits,
+        sha256_pad_one_block,
+        sha256_preimage_statement,
+    )
+
+    N = int(os.environ.get("BENCH_BATCH", 16))
+    msg = b"batched preimage"
+    prog, _ = sha256_preimage_statement(hashlib.sha256(msg).digest())
+    wit = block_to_witness_bits(sha256_pad_one_block(msg))
+    sys_ = TpuKKW(prog)
+    wits = [(wit, [])] * N
+    seeds = np.random.RandomState(3).randint(0, 256, size=(N, 256, 16), dtype=np.uint8)
+    proofs, dt, warm = _time2(lambda: sys_.prove_batch(wits, seeds=seeds))
+    log(f"batch: {N} sha256 proofs in {dt:.2f}s (warm {warm:.1f}s) "
+        f"-> {N/dt:.2f} proofs/s")
+    print(json.dumps({"metric": "sha256_proofs_per_sec_batch", "value": round(N / dt, 3),
+                      "unit": "proofs/s", "batch": N}))
+
+
+def bench_verify():
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.builders import mul_bench_circuit
+
+    n = int(os.environ.get("BENCH_GATES", 1_000_000))
+    prog, wit2, witz = mul_bench_circuit(n)
+    sys_ = TpuKKW(prog)
+    seeds = np.random.RandomState(4).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    proof = sys_.prove(wit2, witz, seeds=seeds)
+    ok, dt, warm = _time2(lambda: sys_.verify(proof))
+    assert ok
+    log(f"verify(1m): {dt:.2f}s (warm {warm:.1f}s)")
+    print(json.dumps({"metric": "and_gates_per_sec_verify_1m", "value": round(n / dt),
+                      "unit": "gates/s"}))
+
+
+ALL = {"and1m": bench_and1m, "sha256": bench_sha256, "z64": bench_z64,
+       "batch": bench_batch, "verify": bench_verify}
+
+
+if __name__ == "__main__":
+    _setup_jax()
+    which = sys.argv[1:] or list(ALL)
+    for name in which:
+        log(f"=== {name} ===")
+        ALL[name]()
