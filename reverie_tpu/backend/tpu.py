@@ -100,6 +100,9 @@ class Executor:
         self.R = total_reps
         self.tables: Dict[str, np.ndarray] = {}
         self._prep_tables()
+        # commit tables to device once (re-transferring megabytes of index
+        # arrays per prove call would dominate small-circuit latency)
+        self.tables = jax.device_put(self.tables)
         self._run = jax.jit(self._trace)
 
     # ------------------------------------------------------------------

@@ -61,9 +61,11 @@ class ScanExecutor:
             while wave_width < min(256, 2 * mean):
                 wave_width *= 2
         self.waves = build_waves(cc, wave_width)
-        self.xs = {k: np.asarray(getattr(self.waves, k)) for k in (
-            "op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec", "corr",
-            "onl", "pre", "cbit")}
+        self.xs = jax.device_put({
+            k: np.asarray(getattr(self.waves, k)) for k in (
+                "op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec", "corr",
+                "onl", "pre", "cbit")
+        })
         self._run = jax.jit(self._trace)
 
     def __call__(self, inputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
