@@ -340,9 +340,14 @@ class TpuKKW:
 
     # -- proving ------------------------------------------------------------
     def prove(self, wit_gf2, wit_z64, seeds: Optional[np.ndarray] = None) -> Proof:
+        import os as _os
+
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
+        profile = bool(_os.environ.get("REVERIE_PROFILE"))
         cc, params = self.cc, self.params
         R = params.total_reps
-        import os as _os
 
         if seeds is None:
             seeds = np.frombuffer(
@@ -350,9 +355,16 @@ class TpuKKW:
             ).reshape(R, KEY_SIZE)
         seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(R, KEY_SIZE)
 
-        player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
-        tape2 = self._gf2_tape(player_keys, None)
-        tz_lo, tz_hi = self._z64_tape(player_keys, None)
+        with timer.phase("expand_seeds"):
+            player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
+        with timer.phase("tape_gf2"):
+            tape2 = self._gf2_tape(player_keys, None)
+            if profile:
+                import jax
+
+                jax.block_until_ready(tape2)
+        with timer.phase("tape_z64"):
+            tz_lo, tz_hi = self._z64_tape(player_keys, None)
 
         wit2 = np.asarray([1 if b else 0 for b in wit_gf2], dtype=np.uint8)
         witz = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wit_z64], dtype=U64)
@@ -368,15 +380,23 @@ class TpuKKW:
             witz_lo=np.ascontiguousarray(np.broadcast_to(wl[:, None], (cc.n_witz, R))),
             witz_hi=np.ascontiguousarray(np.broadcast_to(wh[:, None], (cc.n_witz, R))),
         )
-        out = self._executor(PROVER, R)(inp)
-        if np.any(np.asarray(out["fail"])):
-            raise AssertionError("witness is invalid (AssertZero failed)")
+        with timer.phase("execute"):
+            out = self._executor(PROVER, R)(inp)
+            if profile:
+                import jax
 
-        rep_h, ho2, hoz = self._hash_fn(False)(
-            out["onl2"], out["pre2"], out["onlz"], out["prez"]
-        )
-        rep_h, ho2, hoz = np.asarray(rep_h), np.asarray(ho2), np.asarray(hoz)
-        comm = blake3(rep_h.tobytes())
+                jax.block_until_ready(out)
+        with timer.phase("fail_check"):
+            if np.any(np.asarray(out["fail"])):
+                raise AssertionError("witness is invalid (AssertZero failed)")
+
+        with timer.phase("hash"):
+            rep_h, ho2, hoz = self._hash_fn(False)(
+                out["onl2"], out["pre2"], out["onlz"], out["prez"]
+            )
+            rep_h, ho2, hoz = np.asarray(rep_h), np.asarray(ho2), np.asarray(hoz)
+        with timer.phase("challenge"):
+            comm = blake3(rep_h.tobytes())
 
         open_map = challenge_to_opening(comm, params)
         omit = np.full(R, 8, dtype=np.int64)
@@ -386,16 +406,18 @@ class TpuKKW:
         # pull only the opened columns off-device (40 of 256 streams)
         import jax.numpy as jnp
 
-        cols = np.nonzero(omit < 8)[0]
-        omit_sel = omit[cols]
-        jcols = jnp.asarray(cols)
-        onl2_sel = np.asarray(jnp.take(out["onl2"], jcols, axis=1))
-        pre2_sel = np.asarray(jnp.take(out["pre2"], jcols, axis=1))
-        onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
-        prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
+        with timer.phase("extract_pull"):
+            cols = np.nonzero(omit < 8)[0]
+            omit_sel = omit[cols]
+            jcols = jnp.asarray(cols)
+            onl2_sel = np.asarray(jnp.take(out["onl2"], jcols, axis=1))
+            pre2_sel = np.asarray(jnp.take(out["pre2"], jcols, axis=1))
+            onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
+            prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
 
-        open2 = extract_gf2_openings(cc, onl2_sel, pre2_sel, omit_sel)
-        openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
+        with timer.phase("extract_pack"):
+            open2 = extract_gf2_openings(cc, onl2_sel, pre2_sel, omit_sel)
+            openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
 
         p2 = ProofSingle([], [])
         pz = ProofSingle([], [])
@@ -416,6 +438,10 @@ class TpuKKW:
                 pz.preprocessing.append(
                     OpenPreprocessing(seeds[r].tobytes(), hoz[r].tobytes())
                 )
+        if profile:
+            import sys as _sys
+
+            print("prove phase breakdown:\n" + timer.report(), file=_sys.stderr)
         return Proof(comm, p2, pz)
 
     # -- batch proving ------------------------------------------------------
