@@ -94,15 +94,25 @@ class Executor:
     references them positionally via a flat name->array dict.
     """
 
-    def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256):
+    def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
+                 mesh=None):
         self.cc = cc
         self.mode = mode
         self.R = total_reps
+        self.mesh = mesh
         self.tables: Dict[str, np.ndarray] = {}
         self._prep_tables()
         # commit tables to device once (re-transferring megabytes of index
-        # arrays per prove call would dominate small-circuit latency)
-        self.tables = jax.device_put(self.tables)
+        # arrays per prove call would dominate small-circuit latency); under a
+        # mesh the tables replicate across devices
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.tables = jax.device_put(
+                self.tables, NamedSharding(mesh, PartitionSpec())
+            )
+        else:
+            self.tables = jax.device_put(self.tables)
         self._run = jax.jit(self._trace)
 
     # ------------------------------------------------------------------

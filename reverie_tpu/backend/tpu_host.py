@@ -218,8 +218,12 @@ def build_online_injection(cc: CompiledCircuit, openings2: List[OpenOnline],
 class TpuKKW:
     """Compile a circuit once; prove and verify on the TPU backend."""
 
-    def __init__(self, program: Sequence[CombineOp], params: ProtocolParams = DEFAULT_PARAMS):
+    def __init__(self, program: Sequence[CombineOp], params: ProtocolParams = DEFAULT_PARAMS,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh -- shards the repetition axis
+        of proving/verification over the mesh devices (parallel/mesh.py)."""
         self.params = params
+        self.mesh = mesh
         self.cc = compile_program(program)
         self._executors: Dict[tuple, Executor] = {}
         self._hash_fns: Dict[tuple, object] = {}
@@ -235,12 +239,14 @@ class TpuKKW:
                 cc.depth > self.SCAN_DEPTH_THRESHOLD
                 and cc.n_valsz <= 1
                 and cc.mz == 0
+                and self.mesh is None
             ):
                 from .tpu_scan import ScanExecutor
 
                 self._executors[key] = ScanExecutor(cc, mode, total_reps=R)
             else:
-                self._executors[key] = Executor(self.cc, mode, total_reps=R)
+                self._executors[key] = Executor(self.cc, mode, total_reps=R,
+                                                mesh=self.mesh)
         return self._executors[key]
 
     def _gf2_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
@@ -380,6 +386,10 @@ class TpuKKW:
             witz_lo=np.ascontiguousarray(np.broadcast_to(wl[:, None], (cc.n_witz, R))),
             witz_hi=np.ascontiguousarray(np.broadcast_to(wh[:, None], (cc.n_witz, R))),
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_inputs
+
+            inp = shard_inputs(self.mesh, inp)
         with timer.phase("execute"):
             out = self._executor(PROVER, R)(inp)
             if profile:

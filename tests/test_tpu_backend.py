@@ -124,3 +124,18 @@ def test_device_aes_z64_tape_path():
     tpu_proof = sys_.prove(wit2, witz, seeds=s)
     assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(tpu_proof)
+
+
+def test_mesh_sharded_prove_matches():
+    """Proving with the repetition axis sharded over an 8-device mesh must
+    produce byte-identical proofs (multi-chip path, virtual CPU mesh)."""
+    from reverie_tpu.parallel import make_mesh
+
+    prog, wit2, witz = mul_bench_circuit(40)
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    mesh = make_mesh(8)
+    sharded_sys = TpuKKW(prog, mesh=mesh)
+    sharded = sharded_sys.prove(wit2, witz, seeds=s)
+    assert sharded.to_bytes() == base.to_bytes()
+    assert sharded_sys.verify(sharded)
