@@ -87,11 +87,29 @@ def _recon_sum(lo, hi):
     return alo, ahi
 
 
+def _classify(idx: np.ndarray):
+    """Classify an index column: ('const', v) | ('arith', start, step) |
+    ('gather', None).  Most compiled columns are constant, strided, or
+    contiguous runs -- lowering those to broadcasts / (strided) slices
+    instead of gathers/scatters is a large TPU win."""
+    k = len(idx)
+    if k == 0:
+        return ("gather", None)
+    if np.all(idx == idx[0]):
+        return ("const", int(idx[0]))
+    d = np.diff(idx.astype(np.int64))
+    if np.all(d == d[0]) and d[0] > 0:
+        return ("arith", int(idx[0]), int(d[0]))
+    return ("gather", None)
+
+
 class Executor:
     """Jitted executor for one compiled circuit in one role.
 
     Gate tables are device arrays passed at call time; the traced program
-    references them positionally via a flat name->array dict.
+    references them positionally via a flat name->array dict.  Index columns
+    that form constant/arithmetic runs are lowered to broadcasts and
+    (strided) slice ops instead of gather/scatter.
     """
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
@@ -101,6 +119,8 @@ class Executor:
         self.R = total_reps
         self.mesh = mesh
         self.tables: Dict[str, np.ndarray] = {}
+        self.meta: Dict[str, tuple] = {}
+        self._np_cols: Dict[str, np.ndarray] = {}
         self._prep_tables()
         # commit tables to device once (re-transferring megabytes of index
         # arrays per prove call would dominate small-circuit latency); under a
@@ -130,29 +150,41 @@ class Executor:
                             lo, hi = up.from_u64(arr)
                             self.tables[pre + "clo"] = lo
                             self.tables[pre + "chi"] = hi
-                    else:
+                    elif name == "bits":
                         self.tables[pre + name] = np.asarray(arr, np.int32)
+                    else:
+                        col = np.asarray(arr, np.int32)
+                        self._np_cols[pre + name] = col
+                        meta = _classify(col)
+                        self.meta[pre + name] = meta + (len(col),)
+                        if meta[0] == "gather":
+                            self.tables[pre + name] = col
+                def reg_rows(name, rows):
+                    rows = rows.astype(np.int32)
+                    self._np_cols[pre + name] = rows
+                    meta = _classify(rows)
+                    self.meta[pre + name] = meta + (len(rows),)
+                    if meta[0] == "gather":
+                        self.tables[pre + name] = rows
+
                 # derived event-row arrays for z64 byte events
                 if domain != GF2:
                     if kind in (G_MUL, G_ASSERT) and "onl" in cols:
-                        base = cols["onl"]
-                        self.tables[pre + "onl_rows"] = (
-                            base[:, None] + np.arange(64)[None, :]
-                        ).reshape(-1).astype(np.int32)
-                    if kind in (G_MUL, B2A_CORR) and "pre" in cols:
-                        base = cols["pre"]
-                        self.tables[pre + "pre_rows"] = (
-                            base[:, None] + np.arange(8)[None, :]
-                        ).reshape(-1).astype(np.int32)
-                    if kind == G_INPUT and "onl" in cols:
-                        base = cols["onl"]
-                        self.tables[pre + "onl_rows"] = (
-                            base[:, None] + np.arange(8)[None, :]
-                        ).reshape(-1).astype(np.int32)
-                    if kind == B2A_OUT:
-                        self.tables[pre + "onl_rows"] = (
+                        reg_rows("onl_rows", (
                             cols["onl"][:, None] + np.arange(64)[None, :]
-                        ).reshape(-1).astype(np.int32)
+                        ).reshape(-1))
+                    if kind in (G_MUL, B2A_CORR) and "pre" in cols:
+                        reg_rows("pre_rows", (
+                            cols["pre"][:, None] + np.arange(8)[None, :]
+                        ).reshape(-1))
+                    if kind == G_INPUT and "onl" in cols:
+                        reg_rows("onl_rows", (
+                            cols["onl"][:, None] + np.arange(8)[None, :]
+                        ).reshape(-1))
+                    if kind == B2A_OUT:
+                        reg_rows("onl_rows", (
+                            cols["onl"][:, None] + np.arange(64)[None, :]
+                        ).reshape(-1))
                         self.tables[pre + "rec_rows"] = (
                             cols["rec"][:, None] + np.arange(64)[None, :]
                         ).astype(np.int32)
@@ -182,14 +214,11 @@ class Executor:
         for li, table in enumerate(cc.levels):
             for key in sorted(table.keys()):
                 domain, kind = divmod(key, N_KINDS)
-                cols = {
-                    name[len(f"{li}.{key}.") :]: tables[name]
-                    for name in self._level_names(li, key)
-                }
+                acc = _Acc(self, li, key, tables)
                 if domain == GF2:
-                    self._gf2_kind(st, inp, kind, cols)
+                    self._gf2_kind(st, inp, kind, acc)
                 else:
-                    self._z64_kind(st, inp, kind, cols)
+                    self._z64_kind(st, inp, kind, acc)
         return {
             "onl2": st["onl2"],
             "pre2": st["pre2"],
@@ -198,183 +227,177 @@ class Executor:
             "fail": st["fail"],
         }
 
-    def _level_names(self, li: int, key: int):
-        pre = f"{li}.{key}."
-        return [n for n in self.tables if n.startswith(pre)]
-
     # ------------------------------------------------------------------
-    def _gf2_kind(self, st, inp, kind, cols):
+    def _gf2_kind(self, st, inp, kind, A):
         mode = self.mode
         mask2, corr2 = st["mask2"], st["corr2"]
         if kind == G_INPUT:
-            m = jnp.take(inp["tape2"], cols["tape"], axis=0)
+            m = A.take(inp["tape2"], "tape")
             if mode == PROVER:
-                # wit2: (n_wit, R) -- per-lane witness (supports proof batching)
-                wit = jnp.take(inp["wit2"], cols["wit"], axis=0)
+                wit = A.take(inp["wit2"], "wit")
                 corr = wit ^ _parity8(m)
             elif mode == VERIFY_ONL:
-                corr = jnp.take(inp["in2"], cols["rec"], axis=0)
+                corr = A.take(inp["in2"], "rec")
             else:
                 corr = jnp.zeros_like(m)
             if mode != VERIFY_PRE:
-                st["onl2"] = _scat(st["onl2"], cols["onl"], _expand(corr))
-            st["mask2"] = _scat(mask2, cols["dst"], m)
-            st["corr2"] = _scat(corr2, cols["dst"], corr)
+                st["onl2"] = A.put(st["onl2"], "onl", _expand(corr))
+            st["mask2"] = A.put(mask2, "dst", m)
+            st["corr2"] = A.put(corr2, "dst", corr)
         elif kind == G_ADD:
-            a = jnp.take(mask2, cols["a"], axis=0)
-            b = jnp.take(mask2, cols["b"], axis=0)
-            ac = jnp.take(corr2, cols["a"], axis=0)
-            bc = jnp.take(corr2, cols["b"], axis=0)
-            st["mask2"] = _scat(mask2, cols["dst"], a ^ b)
-            st["corr2"] = _scat(corr2, cols["dst"], ac ^ bc)
+            a = A.take(mask2, "a")
+            b = A.take(mask2, "b")
+            ac = A.take(corr2, "a")
+            bc = A.take(corr2, "b")
+            st["mask2"] = A.put(mask2, "dst", a ^ b)
+            st["corr2"] = A.put(corr2, "dst", ac ^ bc)
         elif kind in (G_ADDC, G_SUBC):
-            a = jnp.take(mask2, cols["a"], axis=0)
-            ac = jnp.take(corr2, cols["a"], axis=0)
-            cbit = cols["cbit"][:, None]
-            st["mask2"] = _scat(mask2, cols["dst"], a)
-            st["corr2"] = _scat(corr2, cols["dst"], ac ^ cbit)
+            a = A.take(mask2, "a")
+            ac = A.take(corr2, "a")
+            cbit = A.arr("cbit")[:, None]
+            st["mask2"] = A.put(mask2, "dst", a)
+            st["corr2"] = A.put(corr2, "dst", ac ^ cbit)
         elif kind == G_MULC:
-            a = jnp.take(mask2, cols["a"], axis=0)
-            ac = jnp.take(corr2, cols["a"], axis=0)
-            cbit = cols["cbit"][:, None]
-            st["mask2"] = _scat(mask2, cols["dst"], a & _expand(cbit))
-            st["corr2"] = _scat(corr2, cols["dst"], ac & cbit)
+            a = A.take(mask2, "a")
+            ac = A.take(corr2, "a")
+            cbit = A.arr("cbit")[:, None]
+            st["mask2"] = A.put(mask2, "dst", a & _expand(cbit))
+            st["corr2"] = A.put(corr2, "dst", ac & cbit)
         elif kind == G_MUL:
-            a = jnp.take(mask2, cols["a"], axis=0)
-            b = jnp.take(mask2, cols["b"], axis=0)
-            ac = jnp.take(corr2, cols["a"], axis=0)
-            bc = jnp.take(corr2, cols["b"], axis=0)
-            m_ab = jnp.take(inp["tape2"], cols["tape_ab"], axis=0)
-            m_new = jnp.take(inp["tape2"], cols["tape_new"], axis=0)
+            a = A.take(mask2, "a")
+            b = A.take(mask2, "b")
+            ac = A.take(corr2, "a")
+            bc = A.take(corr2, "b")
+            m_ab = A.take(inp["tape2"], "tape_ab")
+            m_new = A.take(inp["tape2"], "tape_new")
             if mode == VERIFY_ONL:
-                delta = jnp.take(inp["co2"], cols["corr"], axis=0)
+                delta = A.take(inp["co2"], "corr")
             else:
                 delta = (_parity8(a) & _parity8(b)) ^ _parity8(m_ab)
-            st["pre2"] = _scat(st["pre2"], cols["pre"], _expand(delta))
+            st["pre2"] = A.put(st["pre2"], "pre", _expand(delta))
             s = (b & _expand(ac)) ^ (a & _expand(bc)) ^ m_ab ^ m_new
             if mode == VERIFY_ONL:
-                s = s ^ jnp.take(inp["re2"], cols["rec"], axis=0)
+                s = s ^ A.take(inp["re2"], "rec")
             if mode != VERIFY_PRE:
-                st["onl2"] = _scat(st["onl2"], cols["onl"], s)
+                st["onl2"] = A.put(st["onl2"], "onl", s)
                 recon = _parity8(s) ^ delta
             else:
                 recon = jnp.zeros_like(s)  # junk (verifier/preprocess.rs:63-65)
-            st["mask2"] = _scat(st["mask2"], cols["dst"], m_new)
-            st["corr2"] = _scat(st["corr2"], cols["dst"], recon ^ (ac & bc))
+            st["mask2"] = A.put(st["mask2"], "dst", m_new)
+            st["corr2"] = A.put(st["corr2"], "dst", recon ^ (ac & bc))
         elif kind == G_ASSERT:
             if mode == VERIFY_PRE:
                 return
-            s = jnp.take(mask2, cols["a"], axis=0)
-            ac = jnp.take(corr2, cols["a"], axis=0)
+            s = A.take(mask2, "a")
+            ac = A.take(corr2, "a")
             if mode == VERIFY_ONL:
-                s = s ^ jnp.take(inp["re2"], cols["rec"], axis=0)
-            st["onl2"] = _scat(st["onl2"], cols["onl"], s)
+                s = s ^ A.take(inp["re2"], "rec")
+            st["onl2"] = A.put(st["onl2"], "onl", s)
             nonzero = (_parity8(s) ^ ac) != 0
             st["fail"] = st["fail"] | jnp.any(nonzero, axis=0)
         elif kind == G_RANDOM:
-            m = jnp.take(inp["tape2"], cols["tape"], axis=0)
-            st["mask2"] = _scat(mask2, cols["dst"], m)
+            m = A.take(inp["tape2"], "tape")
+            st["mask2"] = A.put(mask2, "dst", m)
         elif kind == G_CONST:
-            vals = jnp.broadcast_to(cols["cbit"][:, None], (len(cols["cbit"]), self.R))
-            st["corr2"] = _scat(corr2, cols["dst"], vals)
+            cbit = A.arr("cbit")
+            vals = jnp.broadcast_to(cbit[:, None], (cbit.shape[0], self.R))
+            st["corr2"] = A.put(corr2, "dst", vals)
         else:
             raise ValueError(f"bad gf2 kind {kind}")
 
     # ------------------------------------------------------------------
-    def _z64_kind(self, st, inp, kind, cols):
+    def _z64_kind(self, st, inp, kind, A):
         mode = self.mode
 
-        def gm(idx):
-            return jnp.take(st["mzlo"], idx, axis=0), jnp.take(st["mzhi"], idx, axis=0)
+        def gm(name):
+            return A.take(st["mzlo"], name), A.take(st["mzhi"], name)
 
-        def gc(idx):
-            return jnp.take(st["czlo"], idx, axis=0), jnp.take(st["czhi"], idx, axis=0)
+        def gc(name):
+            return A.take(st["czlo"], name), A.take(st["czhi"], name)
 
-        def put_mask(dst, lo, hi):
-            st["mzlo"] = _scat(st["mzlo"], dst, lo)
-            st["mzhi"] = _scat(st["mzhi"], dst, hi)
+        def put_mask(lo, hi):
+            st["mzlo"] = A.put(st["mzlo"], "dst", lo)
+            st["mzhi"] = A.put(st["mzhi"], "dst", hi)
 
-        def put_corr(dst, lo, hi):
-            st["czlo"] = _scat(st["czlo"], dst, lo)
-            st["czhi"] = _scat(st["czhi"], dst, hi)
+        def put_corr(lo, hi):
+            st["czlo"] = A.put(st["czlo"], "dst", lo)
+            st["czhi"] = A.put(st["czhi"], "dst", hi)
 
-        def tape_row(idx):
-            return (
-                jnp.take(inp["tapez_lo"], idx, axis=0),
-                jnp.take(inp["tapez_hi"], idx, axis=0),
-            )
+        def tape_row(name):
+            return A.take(inp["tapez_lo"], name), A.take(inp["tapez_hi"], name)
 
         def const_pair():
-            lo, hi = cols["clo"], cols["chi"]
+            lo, hi = A.arr("clo"), A.arr("chi")
             return (
                 jnp.broadcast_to(lo[:, None], (lo.shape[0], self.R)),
                 jnp.broadcast_to(hi[:, None], (hi.shape[0], self.R)),
             )
 
-        def emit_bytes(buf_name, rows, lo, hi, nbytes):
+        def emit_corr_bytes(buf_name, lo, hi):
             by = jnp.stack(up.le_bytes(lo, hi), axis=1)  # (k, 8, R)
-            st[buf_name] = _scat(st[buf_name], rows, by.reshape(-1, self.R))
+            st[buf_name] = A.put(st[buf_name], "pre_rows", by.reshape(-1, self.R))
 
         if kind == G_INPUT:
-            lo, hi = tape_row(cols["tape"])
+            lo, hi = tape_row("tape")
             rlo, rhi = _recon_sum(lo, hi)
             if mode == PROVER:
-                wlo = jnp.take(inp["witz_lo"], cols["wit"], axis=0)
-                whi = jnp.take(inp["witz_hi"], cols["wit"], axis=0)
+                wlo = A.take(inp["witz_lo"], "wit")
+                whi = A.take(inp["witz_hi"], "wit")
                 clo, chi = up.sub64(wlo, whi, rlo, rhi)
             elif mode == VERIFY_ONL:
-                clo = jnp.take(inp["inz_lo"], cols["rec"], axis=0)
-                chi = jnp.take(inp["inz_hi"], cols["rec"], axis=0)
+                clo = A.take(inp["inz_lo"], "rec")
+                chi = A.take(inp["inz_hi"], "rec")
             else:
                 clo = jnp.zeros_like(rlo)
                 chi = jnp.zeros_like(rhi)
             if mode != VERIFY_PRE:
-                emit_bytes("onlz", cols["onl_rows"], clo, chi, 8)
-            put_mask(cols["dst"], lo, hi)
-            put_corr(cols["dst"], clo, chi)
+                by = jnp.stack(up.le_bytes(clo, chi), axis=1)
+                st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
+            put_mask(lo, hi)
+            put_corr(clo, chi)
         elif kind in (G_ADD, Z_SUB):
-            alo, ahi = gm(cols["a"])
-            blo, bhi = gm(cols["b"])
-            aclo, achi = gc(cols["a"])
-            bclo, bchi = gc(cols["b"])
+            alo, ahi = gm("a")
+            blo, bhi = gm("b")
+            aclo, achi = gc("a")
+            bclo, bchi = gc("b")
             fn = up.add64 if kind == G_ADD else up.sub64
             lo, hi = fn(alo, ahi, blo, bhi)
             clo, chi = fn(aclo, achi, bclo, bchi)
-            put_mask(cols["dst"], lo, hi)
-            put_corr(cols["dst"], clo, chi)
+            put_mask(lo, hi)
+            put_corr(clo, chi)
         elif kind in (G_ADDC, G_SUBC):
-            alo, ahi = gm(cols["a"])
-            aclo, achi = gc(cols["a"])
+            alo, ahi = gm("a")
+            aclo, achi = gc("a")
             klo, khi = const_pair()
             fn = up.add64 if kind == G_ADDC else up.sub64
             clo, chi = fn(aclo, achi, klo, khi)
-            put_mask(cols["dst"], alo, ahi)
-            put_corr(cols["dst"], clo, chi)
+            put_mask(alo, ahi)
+            put_corr(clo, chi)
         elif kind == G_MULC:
-            alo, ahi = gm(cols["a"])
-            aclo, achi = gc(cols["a"])
+            alo, ahi = gm("a")
+            aclo, achi = gc("a")
             klo, khi = const_pair()
             lo, hi = up.mul64(alo, ahi, klo[..., None], khi[..., None])
             clo, chi = up.mul64(aclo, achi, klo, khi)
-            put_mask(cols["dst"], lo, hi)
-            put_corr(cols["dst"], clo, chi)
+            put_mask(lo, hi)
+            put_corr(clo, chi)
         elif kind == G_MUL:
-            alo, ahi = gm(cols["a"])
-            blo, bhi = gm(cols["b"])
-            aclo, achi = gc(cols["a"])
-            bclo, bchi = gc(cols["b"])
-            tablo, tabhi = tape_row(cols["tape_ab"])
-            tnlo, tnhi = tape_row(cols["tape_new"])
+            alo, ahi = gm("a")
+            blo, bhi = gm("b")
+            aclo, achi = gc("a")
+            bclo, bchi = gc("b")
+            tablo, tabhi = tape_row("tape_ab")
+            tnlo, tnhi = tape_row("tape_new")
             ralo, rahi = _recon_sum(alo, ahi)
             rblo, rbhi = _recon_sum(blo, bhi)
             rclo, rchi = _recon_sum(tablo, tabhi)
             if mode == VERIFY_ONL:
-                dlo = jnp.take(inp["coz_lo"], cols["corr"], axis=0)
-                dhi = jnp.take(inp["coz_hi"], cols["corr"], axis=0)
+                dlo = A.take(inp["coz_lo"], "corr")
+                dhi = A.take(inp["coz_hi"], "corr")
             else:
                 plo, phi = up.mul64(ralo, rahi, rblo, rbhi)
                 dlo, dhi = up.sub64(plo, phi, rclo, rchi)
-            emit_bytes("prez", cols["pre_rows"], dlo, dhi, 8)
+            emit_corr_bytes("prez", dlo, dhi)
             s1lo, s1hi = up.mul64(blo, bhi, aclo[..., None], achi[..., None])
             s2lo, s2hi = up.mul64(alo, ahi, bclo[..., None], bchi[..., None])
             slo, shi = up.add64(s1lo, s1hi, s2lo, s2hi)
@@ -382,14 +405,12 @@ class Executor:
             slo, shi = up.sub64(slo, shi, tnlo, tnhi)
             if mode == VERIFY_ONL:
                 slo, shi = up.add64(
-                    slo, shi,
-                    jnp.take(inp["rez_lo"], cols["rec"], axis=0),
-                    jnp.take(inp["rez_hi"], cols["rec"], axis=0),
+                    slo, shi, A.take(inp["rez_lo"], "rec"), A.take(inp["rez_hi"], "rec")
                 )
             if mode != VERIFY_PRE:
                 by = jnp.stack(up.le_bytes(slo, shi), axis=-1)  # (k, R, 8p, 8b)
                 by = jnp.moveaxis(by, 1, -1)  # (k, 8p, 8b, R)
-                st["onlz"] = _scat(st["onlz"], cols["onl_rows"], by.reshape(-1, self.R))
+                st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
                 srlo, srhi = _recon_sum(slo, shi)
                 relo, rehi = up.add64(srlo, srhi, dlo, dhi)
             else:
@@ -397,64 +418,112 @@ class Executor:
                 rehi = jnp.zeros_like(dhi)
             pclo, pchi = up.mul64(aclo, achi, bclo, bchi)
             clo, chi = up.add64(relo, rehi, pclo, pchi)
-            put_mask(cols["dst"], tnlo, tnhi)
-            put_corr(cols["dst"], clo, chi)
+            put_mask(tnlo, tnhi)
+            put_corr(clo, chi)
         elif kind == G_ASSERT:
             if mode == VERIFY_PRE:
                 return
-            slo, shi = gm(cols["a"])
-            aclo, achi = gc(cols["a"])
+            slo, shi = gm("a")
+            aclo, achi = gc("a")
             if mode == VERIFY_ONL:
                 slo, shi = up.add64(
-                    slo, shi,
-                    jnp.take(inp["rez_lo"], cols["rec"], axis=0),
-                    jnp.take(inp["rez_hi"], cols["rec"], axis=0),
+                    slo, shi, A.take(inp["rez_lo"], "rec"), A.take(inp["rez_hi"], "rec")
                 )
             by = jnp.stack(up.le_bytes(slo, shi), axis=-1)
             by = jnp.moveaxis(by, 1, -1)
-            st["onlz"] = _scat(st["onlz"], cols["onl_rows"], by.reshape(-1, self.R))
+            st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
             rlo, rhi = _recon_sum(slo, shi)
             vlo, vhi = up.add64(rlo, rhi, aclo, achi)
             st["fail"] = st["fail"] | jnp.any((vlo | vhi) != 0, axis=0)
         elif kind == G_RANDOM:
-            lo, hi = tape_row(cols["tape"])
-            put_mask(cols["dst"], lo, hi)
+            lo, hi = tape_row("tape")
+            put_mask(lo, hi)
         elif kind == G_CONST:
             klo, khi = const_pair()
-            put_corr(cols["dst"], klo, khi)
+            put_corr(klo, khi)
         elif kind == B2A_CORR:
-            bits = _parity8(jnp.take(st["mask2"], cols["bits"], axis=0))
+            bits = _parity8(jnp.take(st["mask2"], A.arr("bits"), axis=0))
             vlo, vhi = _compose_bits(bits)
-            lo, hi = tape_row(cols["tape"])
+            lo, hi = tape_row("tape")
             rlo, rhi = _recon_sum(lo, hi)
             if mode == VERIFY_ONL:
-                clo = jnp.take(inp["coz_lo"], cols["corr"], axis=0)
-                chi = jnp.take(inp["coz_hi"], cols["corr"], axis=0)
+                clo = A.take(inp["coz_lo"], "corr")
+                chi = A.take(inp["coz_hi"], "corr")
             else:
                 clo, chi = up.sub64(vlo, vhi, rlo, rhi)
-            emit_bytes("prez", cols["pre_rows"], clo, chi, 8)
-            put_mask(cols["dst"], lo, hi)
-            put_corr(cols["dst"], clo, chi)
+            emit_corr_bytes("prez", clo, chi)
+            put_mask(lo, hi)
+            put_corr(clo, chi)
         elif kind == B2A_OUT:
-            ids = cols["bits"]  # (k, 64)
+            ids = A.arr("bits")  # (k, 64)
             s = jnp.take(st["mask2"], ids, axis=0)  # (k, 64, R)
             bc = jnp.take(st["corr2"], ids, axis=0)
             if mode == VERIFY_ONL:
-                s = s ^ jnp.take(inp["re2"], cols["rec_rows"], axis=0)
+                s = s ^ jnp.take(inp["re2"], A.arr("rec_rows"), axis=0)
             if mode != VERIFY_PRE:
-                st["onl2"] = _scat(st["onl2"], cols["onl_rows"], s.reshape(-1, self.R))
+                st["onl2"] = A.put(st["onl2"], "onl_rows", s.reshape(-1, self.R))
                 bits = _parity8(s) ^ bc
             else:
                 bits = bc  # junk: recon is zero in preprocess mode
             vlo, vhi = _compose_bits(bits)
-            zrlo, zrhi = gm(cols["zr"])
-            zclo, zchi = gc(cols["zr"])
+            zrlo, zrhi = gm("zr")
+            zclo, zchi = gc("zr")
             nlo, nhi = up.neg64(zrlo, zrhi)
             clo, chi = up.sub64(vlo, vhi, zclo, zchi)
-            put_mask(cols["dst"], nlo, nhi)
-            put_corr(cols["dst"], clo, chi)
+            put_mask(nlo, nhi)
+            put_corr(clo, chi)
         else:
             raise ValueError(f"bad z64 kind {kind}")
+
+
+class _Acc:
+    """Per-(level, kind) table accessor: lowers constant/arithmetic index
+    columns to broadcasts / (strided) slices; general columns to gathers."""
+
+    def __init__(self, ex: "Executor", li: int, key: int, tables):
+        self.ex = ex
+        self.pre = f"{li}.{key}."
+        self.tables = tables
+
+    def arr(self, name: str):
+        return self.tables[self.pre + name]
+
+    def take(self, src, name: str):
+        kind, *rest = self.ex.meta[self.pre + name]
+        if kind == "const":
+            v, k = rest
+            row = jax.lax.slice_in_dim(src, v, v + 1, axis=0)
+            return jnp.broadcast_to(row, (k,) + src.shape[1:])
+        if kind == "arith":
+            start, step, k = rest
+            return jax.lax.slice_in_dim(
+                src, start, start + (k - 1) * step + 1, stride=step, axis=0
+            )
+        return jnp.take(src, self.tables[self.pre + name], axis=0)
+
+    def put(self, buf, name: str, vals):
+        vals = jax.lax.optimization_barrier(vals)
+        kind, *rest = self.ex.meta[self.pre + name]
+        if kind == "const":
+            v, k = rest
+            assert k == 1, "duplicate scatter rows"
+            return jax.lax.dynamic_update_slice_in_dim(buf, vals, v, axis=0)
+        if kind == "arith":
+            start, step, k = rest
+            if step == 1:
+                return jax.lax.dynamic_update_slice_in_dim(buf, vals, start, axis=0)
+            # strided scatter: read-modify-write the covering window
+            width = (k - 1) * step + 1
+            win = jax.lax.slice_in_dim(buf, start, start + width, axis=0)
+            pad = k * step - width
+            if pad:
+                win = jnp.concatenate(
+                    [win, jnp.zeros((pad,) + win.shape[1:], win.dtype)], axis=0
+                )
+            win = win.reshape(k, step, *vals.shape[1:]).at[:, 0].set(vals)
+            win = win.reshape(k * step, *vals.shape[1:])[:width]
+            return jax.lax.dynamic_update_slice_in_dim(buf, win, start, axis=0)
+        return buf.at[self.tables[self.pre + name]].set(vals)
 
 
 def _compose_bits(bits):
