@@ -153,6 +153,60 @@ def extract_z64_openings(cc: CompiledCircuit, onlz_sel: np.ndarray, prez_sel: np
 
 
 # ---------------------------------------------------------------------------
+# Device-side extraction (prover): one-hot MXU column-select + bit packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_rows_device(bits):
+    """(N, K) 0/1 uint8 -> (N//8+1, K) packed bytes, MSB-first, with the
+    reference's always-emitted remainder byte (see _pack_bits_stream)."""
+    import jax.numpy as jnp
+
+    N, K = bits.shape
+    n_chunks = N // 8 + 1
+    pad = n_chunks * 8 - N
+    bits = jnp.concatenate([bits, jnp.zeros((pad, K), jnp.uint8)], axis=0)
+    bits = bits.reshape(n_chunks, 8, K)
+    w = jnp.asarray((128 >> np.arange(8)).astype(np.uint8))
+    return jnp.sum(bits * w[None, :, None], axis=1, dtype=jnp.uint8)
+
+
+def make_gf2_extractor(cc: CompiledCircuit):
+    """Jitted device fn: (onl2, pre2, onehot(R,K) int8, shifts(K,)) ->
+    packed (recons, corrs, inputs) byte arrays, each (n//8+1, K)."""
+    import jax
+    import jax.numpy as jnp
+
+    rec_rows = jnp.asarray(cc.recon_slots2.astype(np.int32))
+    cor_rows = jnp.asarray(cc.corr_slots2.astype(np.int32))
+    inp_rows = jnp.asarray(cc.input_slots2.astype(np.int32))
+
+    def fn(onl2, pre2, onehot, shifts):
+        # column select on the MXU: (T, R) u8 x (R, K) s8 -> (T, K)
+        def sel(buf):
+            out = jax.lax.dot_general(
+                buf.astype(jnp.int8), onehot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return out.astype(jnp.uint8)
+
+        selo = sel(onl2)
+        selp = sel(pre2)
+        rec = jnp.take(selo, rec_rows, axis=0)
+        rec_bits = (rec >> shifts[None, :]) & jnp.uint8(1)
+        cor_bits = jnp.take(selp, cor_rows, axis=0) & jnp.uint8(1)
+        inp_bits = jnp.take(selo, inp_rows, axis=0) & jnp.uint8(1)
+        return (
+            _pack_rows_device(rec_bits),
+            _pack_rows_device(cor_bits),
+            _pack_rows_device(inp_bits),
+        )
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
 # Stream injection (verifier) -- proof streams to TPU-layout arrays
 # ---------------------------------------------------------------------------
 
@@ -413,20 +467,23 @@ class TpuKKW:
         for rep, p in open_map.items():
             omit[rep] = p
 
-        # pull only the opened columns off-device (40 of 256 streams)
+        # extract opened streams on device (one-hot MXU select + packing)
         import jax.numpy as jnp
 
         with timer.phase("extract_pull"):
             cols = np.nonzero(omit < 8)[0]
             omit_sel = omit[cols]
-            jcols = jnp.asarray(cols)
-            onl2_sel = np.asarray(jnp.take(out["onl2"], jcols, axis=1))
-            pre2_sel = np.asarray(jnp.take(out["pre2"], jcols, axis=1))
-            onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
-            prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
+            open2 = self._extract_gf2_device(out, cols, omit_sel)
+            if cc.onlz > 1 or cc.prez > 1:
+                jcols = jnp.asarray(cols)
+                onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
+                prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
+            else:
+                K = len(cols)
+                onlz_sel = np.zeros((out["onlz"].shape[0], K), np.uint8)
+                prez_sel = np.zeros((out["prez"].shape[0], K), np.uint8)
 
         with timer.phase("extract_pack"):
-            open2 = extract_gf2_openings(cc, onl2_sel, pre2_sel, omit_sel)
             openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
 
         p2 = ProofSingle([], [])
@@ -453,6 +510,32 @@ class TpuKKW:
 
             print("prove phase breakdown:\n" + timer.report(), file=_sys.stderr)
         return Proof(comm, p2, pz)
+
+    def _extract_gf2_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
+        """Device extraction of the gf2 opened streams; returns the list of
+        (recons, corrs, inputs) bytes per opened rep."""
+        import jax.numpy as jnp
+
+        cc = self.cc
+        R = out["onl2"].shape[1]
+        K = len(cols)
+        if "extract2" not in self._hash_fns:
+            self._hash_fns["extract2"] = {}
+        cache = self._hash_fns["extract2"]
+        key = (R, K)
+        if key not in cache:
+            cache[key] = make_gf2_extractor(cc)
+        onehot = np.zeros((R, K), dtype=np.int8)
+        onehot[cols, np.arange(K)] = 1
+        shifts = (7 - omit_sel).astype(np.uint8)
+        rec, cor, inp = cache[key](
+            out["onl2"], out["pre2"], jnp.asarray(onehot), jnp.asarray(shifts)
+        )
+        rec, cor, inp = np.asarray(rec), np.asarray(cor), np.asarray(inp)
+        return [
+            (rec[:, j].tobytes(), cor[:, j].tobytes(), inp[:, j].tobytes())
+            for j in range(K)
+        ]
 
     # -- batch proving ------------------------------------------------------
     def prove_batch(self, witnesses, seeds: Optional[np.ndarray] = None):
@@ -518,13 +601,15 @@ class TpuKKW:
 
         flat_omit = omits.reshape(RT)
         cols = np.nonzero(flat_omit < 8)[0]
-        jcols = jnp.asarray(cols)
-        onl2_sel = np.asarray(jnp.take(out["onl2"], jcols, axis=1))
-        pre2_sel = np.asarray(jnp.take(out["pre2"], jcols, axis=1))
-        onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
-        prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
         omit_sel = flat_omit[cols]
-        open2 = extract_gf2_openings(cc, onl2_sel, pre2_sel, omit_sel)
+        open2 = self._extract_gf2_device(out, cols, omit_sel)
+        if cc.onlz > 1 or cc.prez > 1:
+            jcols = jnp.asarray(cols)
+            onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
+            prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
+        else:
+            onlz_sel = np.zeros((out["onlz"].shape[0], len(cols)), np.uint8)
+            prez_sel = np.zeros((out["prez"].shape[0], len(cols)), np.uint8)
         openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
 
         proofs = []
