@@ -18,6 +18,8 @@ for name, (prog, wit2, witz) in [
     ('wide_and', wide_and_circuit(50, width=32, seed=7)),
     ('b2a', mixed_b2a_circuit()),
     ('deep_scan', wide_and_circuit(700, width=8, seed=11)),
+    ('aes_dev', mul_bench_circuit(2500)),      # m2 > 4096: device AES path
+    ('z64_dev', __import__('reverie_tpu.circuit.builders', fromlist=['z64_mul_bench_circuit']).z64_mul_bench_circuit(300)),  # mz > 512
 ]:
     t0 = time.time()
     s_ = TpuKKW(prog)

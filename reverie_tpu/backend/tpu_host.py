@@ -177,9 +177,36 @@ def make_gf2_extractor(cc: CompiledCircuit):
     import jax
     import jax.numpy as jnp
 
-    rec_rows = jnp.asarray(cc.recon_slots2.astype(np.int32))
-    cor_rows = jnp.asarray(cc.corr_slots2.astype(np.int32))
-    inp_rows = jnp.asarray(cc.input_slots2.astype(np.int32))
+    from .tpu import _classify
+
+    def row_taker(slots: np.ndarray):
+        """Slot rows are usually contiguous/strided runs -- use slices."""
+        slots = slots.astype(np.int32)
+        kind, *rest = _classify(slots)
+        if kind == "const" and len(slots):
+            v = rest[0]
+
+            def take(buf):
+                row = jax.lax.slice_in_dim(buf, v, v + 1, axis=0)
+                return jnp.broadcast_to(row, (len(slots),) + buf.shape[1:])
+
+            return take
+        if kind == "arith":
+            start, step = rest
+            k = len(slots)
+
+            def take(buf):
+                return jax.lax.slice_in_dim(
+                    buf, start, start + (k - 1) * step + 1, stride=step, axis=0
+                )
+
+            return take
+        arr = jnp.asarray(slots)
+        return lambda buf: jnp.take(buf, arr, axis=0)
+
+    take_rec = row_taker(cc.recon_slots2)
+    take_cor = row_taker(cc.corr_slots2)
+    take_inp = row_taker(cc.input_slots2)
 
     def fn(onl2, pre2, onehot, shifts):
         # column select on the MXU: (T, R) u8 x (R, K) s8 -> (T, K)
@@ -193,10 +220,9 @@ def make_gf2_extractor(cc: CompiledCircuit):
 
         selo = sel(onl2)
         selp = sel(pre2)
-        rec = jnp.take(selo, rec_rows, axis=0)
-        rec_bits = (rec >> shifts[None, :]) & jnp.uint8(1)
-        cor_bits = jnp.take(selp, cor_rows, axis=0) & jnp.uint8(1)
-        inp_bits = jnp.take(selo, inp_rows, axis=0) & jnp.uint8(1)
+        rec_bits = (take_rec(selo) >> shifts[None, :]) & jnp.uint8(1)
+        cor_bits = take_cor(selp) & jnp.uint8(1)
+        inp_bits = take_inp(selo) & jnp.uint8(1)
         return (
             _pack_rows_device(rec_bits),
             _pack_rows_device(cor_bits),
