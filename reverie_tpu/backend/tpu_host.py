@@ -208,26 +208,18 @@ def make_gf2_extractor(cc: CompiledCircuit):
     take_cor = row_taker(cc.corr_slots2)
     take_inp = row_taker(cc.input_slots2)
 
-    def fn(onl2, pre2, onehot, shifts):
-        # column select on the MXU: (T, R) u8 x (R, K) s8 -> (T, K)
-        def sel(buf):
-            out = jax.lax.dot_general(
-                buf.astype(jnp.int8), onehot,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            return out.astype(jnp.uint8)
+    def fn(onl2, pre2, shifts_full, cols):
+        # pack the per-rep bit streams 8x on device, then select the opened
+        # columns of the (8x smaller) packed buffers
+        rec_bits = (take_rec(onl2) >> shifts_full[None, :]) & jnp.uint8(1)
+        cor_bits = take_cor(pre2) & jnp.uint8(1)
+        inp_bits = take_inp(onl2) & jnp.uint8(1)
 
-        selo = sel(onl2)
-        selp = sel(pre2)
-        rec_bits = (take_rec(selo) >> shifts[None, :]) & jnp.uint8(1)
-        cor_bits = take_cor(selp) & jnp.uint8(1)
-        inp_bits = take_inp(selo) & jnp.uint8(1)
-        return (
-            _pack_rows_device(rec_bits),
-            _pack_rows_device(cor_bits),
-            _pack_rows_device(inp_bits),
-        )
+        def packsel(bits):
+            packed = _pack_rows_device(bits)  # (n//8+1, R)
+            return jnp.take(packed.T, cols, axis=0)  # (K, n//8+1)
+
+        return packsel(rec_bits), packsel(cor_bits), packsel(inp_bits)
 
     return jax.jit(fn)
 
@@ -551,15 +543,15 @@ class TpuKKW:
         key = (R, K)
         if key not in cache:
             cache[key] = make_gf2_extractor(cc)
-        onehot = np.zeros((R, K), dtype=np.int8)
-        onehot[cols, np.arange(K)] = 1
-        shifts = (7 - omit_sel).astype(np.uint8)
+        shifts_full = np.zeros(R, dtype=np.uint8)
+        shifts_full[cols] = (7 - omit_sel).astype(np.uint8)
         rec, cor, inp = cache[key](
-            out["onl2"], out["pre2"], jnp.asarray(onehot), jnp.asarray(shifts)
+            out["onl2"], out["pre2"], jnp.asarray(shifts_full),
+            jnp.asarray(cols.astype(np.int32)),
         )
         rec, cor, inp = np.asarray(rec), np.asarray(cor), np.asarray(inp)
         return [
-            (rec[:, j].tobytes(), cor[:, j].tobytes(), inp[:, j].tobytes())
+            (rec[j].tobytes(), cor[j].tobytes(), inp[j].tobytes())
             for j in range(K)
         ]
 

@@ -22,80 +22,70 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .aes_jax import _SHIFT_ROWS
 from .sbox_circuit import sbox_bitsliced
 
 U32 = jnp.uint32
 
 
 def _aes_kernel(rkp_ref, ctr_ref, out_ref):
+    """State as one (16, 8, Kw, TB) u32 tensor; rounds via fori_loop (small
+    trace); SubBytes via an inner fori over byte positions (small VMEM live
+    set)."""
     rkp = rkp_ref[:]  # (11, 16, 8, Kw)
     ctr = ctr_ref[:]  # (16, 8, TB) int32 0/1
     Kw = rkp.shape[-1]
     TB = ctr.shape[-1]
 
     ones = jnp.asarray(0xFFFFFFFF, U32)
-
-    # planes[byte][bit]: (Kw, TB)
-    planes = [
-        [
-            jnp.broadcast_to(
-                jnp.where(ctr[by, bit, :] != 0, ones, jnp.asarray(0, U32))[None, :],
-                (Kw, TB),
-            )
-            ^ rkp[0, by, bit, :, None]
-            for bit in range(8)
-        ]
-        for by in range(16)
-    ]
+    init = jnp.where(ctr[:, :, None, :] != 0, ones, jnp.asarray(0, U32)) ^ \
+        rkp[0][:, :, :, None]  # (16, 8, Kw, TB)
 
     def sub_bytes(planes):
-        out = []
-        for by in range(16):
-            msb = [planes[by][7 - i] for i in range(8)]
+        def byte_body(by, acc):
+            msb = [planes[by, 7 - i] for i in range(8)]
             sb = sbox_bitsliced(msb, lambda a, b: a ^ b, lambda a, b: a & b,
                                 lambda a: ~a)
-            out.append([sb[7 - i] for i in range(8)])
-        return out
+            lsb = jnp.stack([sb[7 - i] for i in range(8)])  # (8, Kw, TB)
+            return jax.lax.dynamic_update_slice(acc, lsb[None], (by, 0, 0, 0))
+
+        return jax.lax.fori_loop(0, 16, byte_body, jnp.zeros_like(planes))
 
     def shift_rows(planes):
-        return [planes[4 * ((i // 4 + i % 4) % 4) + (i % 4)] for i in range(16)]
-
-    def xtime(bits):
-        b = bits
-        return [b[7], b[0] ^ b[7], b[1], b[2] ^ b[7], b[3] ^ b[7], b[4], b[5], b[6]]
+        # static permutation of the byte axis (no captured index constants)
+        return jnp.stack([planes[int(j)] for j in _SHIFT_ROWS])
 
     def mix_columns(planes):
-        out = [None] * 16
-        for c in range(4):
-            rows = [planes[4 * c + r] for r in range(4)]
-            xt = [xtime(r) for r in rows]
-            out[4 * c + 0] = [xt[0][i] ^ xt[1][i] ^ rows[1][i] ^ rows[2][i] ^ rows[3][i] for i in range(8)]
-            out[4 * c + 1] = [rows[0][i] ^ xt[1][i] ^ xt[2][i] ^ rows[2][i] ^ rows[3][i] for i in range(8)]
-            out[4 * c + 2] = [rows[0][i] ^ rows[1][i] ^ xt[2][i] ^ xt[3][i] ^ rows[3][i] for i in range(8)]
-            out[4 * c + 3] = [xt[0][i] ^ rows[0][i] ^ rows[1][i] ^ rows[2][i] ^ xt[3][i] for i in range(8)]
-        return out
+        # planes: (16, 8, Kw, TB); rows r = byte indices r::4
+        rows = planes.reshape(4, 4, 8, Kw, TB)  # (col, row, bit, ...)
+        r = [rows[:, i] for i in range(4)]  # each (4cols, 8, Kw, TB)
 
-    def add_round_key(planes, rnd):
-        return [
-            [planes[by][bit] ^ rkp[rnd, by, bit, :, None] for bit in range(8)]
-            for by in range(16)
-        ]
+        def xt(a):
+            return jnp.stack(
+                [a[:, 7], a[:, 0] ^ a[:, 7], a[:, 1], a[:, 2] ^ a[:, 7],
+                 a[:, 3] ^ a[:, 7], a[:, 4], a[:, 5], a[:, 6]], axis=1)
 
-    for rnd in range(1, 10):
+        x = [xt(a) for a in r]
+        n0 = x[0] ^ x[1] ^ r[1] ^ r[2] ^ r[3]
+        n1 = r[0] ^ x[1] ^ x[2] ^ r[2] ^ r[3]
+        n2 = r[0] ^ r[1] ^ x[2] ^ x[3] ^ r[3]
+        n3 = x[0] ^ r[0] ^ r[1] ^ r[2] ^ x[3]
+        return jnp.stack([n0, n1, n2, n3], axis=1).reshape(16, 8, Kw, TB)
+
+    def round_body(rnd, planes):
         planes = sub_bytes(planes)
         planes = shift_rows(planes)
         planes = mix_columns(planes)
-        planes = add_round_key(planes, rnd)
+        return planes ^ rkp[rnd][:, :, :, None]
+
+    planes = jax.lax.fori_loop(1, 10, round_body, init)
     planes = sub_bytes(planes)
     planes = shift_rows(planes)
-    planes = add_round_key(planes, 10)
-
-    for by in range(16):
-        for bit in range(8):
-            out_ref[by, bit] = planes[by][bit]
+    planes = planes ^ rkp[10][:, :, :, None]
+    out_ref[:] = planes
 
 
-def aes_ctr_planes_pallas(rkp, ctrp_i32, tile_b: int = 256, interpret: bool = False):
+def aes_ctr_planes_pallas(rkp, ctrp_i32, tile_b: int = 128, interpret: bool = False):
     """rkp: (11, 16, 8, Kw) u32; ctrp_i32: (16, 8, B) int32 (B % tile_b == 0).
     Returns keystream planes (16, 8, Kw, B) u32."""
     Kw = rkp.shape[-1]
@@ -118,13 +108,19 @@ def aes_ctr_planes_pallas(rkp, ctrp_i32, tile_b: int = 256, interpret: bool = Fa
     )(rkp, ctrp_i32)
 
 
-def aes_ctr_tape_gf2_pallas(rkp, ctrp_i32, lane_mask, tile_b: int = 256,
+def aes_ctr_tape_gf2_pallas(rkp, ctrp_i32, lane_mask, tile_b: int = 128,
                             interpret: bool = False):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2 using the Pallas core.
-    Returns (B*128, 4*Kw) uint8 GF2 tape."""
+    Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple."""
     Kw = rkp.shape[-1]
     B = ctrp_i32.shape[-1]
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    if Bp != B:
+        ctrp_i32 = jnp.concatenate(
+            [ctrp_i32, jnp.zeros((16, 8, Bp - B), ctrp_i32.dtype)], axis=-1
+        )
     planes = aes_ctr_planes_pallas(rkp, ctrp_i32, tile_b, interpret)
+    planes = planes[..., :B]
     # m = block*128 + byte*8 + j uses bit (7-j)
     words = jnp.transpose(planes[:, ::-1], (3, 0, 1, 2)).reshape(B * 128, Kw)
     m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
