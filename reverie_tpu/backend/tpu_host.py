@@ -657,6 +657,12 @@ class TpuKKW:
 
     # -- verification -------------------------------------------------------
     def verify(self, proof: Proof, strict_zero_check: bool = True) -> bool:
+        import os as _os
+
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
+        profile = bool(_os.environ.get("REVERIE_PROFILE"))
         cc, params = self.cc, self.params
         if not proof.gf2.check_format(params.online_reps, params.preprocessing_reps):
             return False
@@ -665,23 +671,27 @@ class TpuKKW:
 
         # ---- online re-execution (all 40 opened reps as one batch) --------
         Ro = params.online_reps
-        inj, omit, omitz = build_online_injection(cc, proof.gf2.online, proof.z64.online)
-        player_keys = np.stack(
-            [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.gf2.online]
-        )
-        player_keysz = np.stack(
-            [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
-        )
-        tape2 = self._gf2_tape(player_keys, omit)
-        tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
-        inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
-        out = self._executor(VERIFY_ONL, Ro)(inp)
-        if strict_zero_check and np.any(np.asarray(out["fail"])):
-            return False
-        rep_h, _, _ = self._hash_fn(False)(
-            out["onl2"], out["pre2"], out["onlz"], out["prez"]
-        )
-        hashes_online = np.asarray(rep_h)  # (40, 32)
+        with timer.phase("onl_inject"):
+            inj, omit, omitz = build_online_injection(cc, proof.gf2.online, proof.z64.online)
+            player_keys = np.stack(
+                [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.gf2.online]
+            )
+            player_keysz = np.stack(
+                [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
+            )
+        with timer.phase("onl_tape"):
+            tape2 = self._gf2_tape(player_keys, omit)
+            tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
+        with timer.phase("onl_exec"):
+            out = self._executor(VERIFY_ONL, Ro)(inp := dict(
+                tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj))
+            if strict_zero_check and np.any(np.asarray(out["fail"])):
+                return False
+        with timer.phase("onl_hash"):
+            rep_h, _, _ = self._hash_fn(False)(
+                out["onl2"], out["pre2"], out["onlz"], out["prez"]
+            )
+            hashes_online = np.asarray(rep_h)  # (40, 32)
 
         # ---- preprocessing re-execution -----------------------------------
         Rp = params.preprocessing_reps
@@ -697,16 +707,19 @@ class TpuKKW:
         commz = np.stack(
             [np.frombuffer(p.comm_online, dtype=np.uint8) for p in proof.z64.preprocessing]
         )
-        pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
-        pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
-        tape2 = self._gf2_tape(pk2, None)
-        tz_lo, tz_hi = self._z64_tape(pkz, None)
-        inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
-        out = self._executor(VERIFY_PRE, Rp)(inp)
-        rep_h, _, _ = self._hash_fn(True)(
-            out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz
-        )
-        hashes_pre = np.asarray(rep_h)  # (216, 32)
+        with timer.phase("pre_tape"):
+            pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
+            pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
+            tape2 = self._gf2_tape(pk2, None)
+            tz_lo, tz_hi = self._z64_tape(pkz, None)
+        with timer.phase("pre_exec"):
+            inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
+            out = self._executor(VERIFY_PRE, Rp)(inp)
+        with timer.phase("pre_hash"):
+            rep_h, _, _ = self._hash_fn(True)(
+                out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz
+            )
+            hashes_pre = np.asarray(rep_h)  # (216, 32)
 
         # ---- reorder + commitment check -----------------------------------
         open_map = challenge_to_opening(proof.comm, params)
@@ -719,4 +732,9 @@ class TpuKKW:
             else:
                 ordered[i] = hashes_pre[ip]
                 ip += 1
-        return blake3(ordered.tobytes()) == proof.comm
+        ok = blake3(ordered.tobytes()) == proof.comm
+        if profile:
+            import sys as _sys
+
+            print("verify phase breakdown:\n" + timer.report(), file=_sys.stderr)
+        return ok

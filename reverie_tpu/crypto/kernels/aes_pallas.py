@@ -42,14 +42,15 @@ def _aes_kernel(rkp_ref, ctr_ref, out_ref):
         rkp[0][:, :, :, None]  # (16, 8, Kw, TB)
 
     def sub_bytes(planes):
-        def byte_body(by, acc):
+        # static unroll over the 16 byte positions (Mosaic has no dynamic
+        # value indexing); the round loop is a fori so this traces once
+        out = []
+        for by in range(16):
             msb = [planes[by, 7 - i] for i in range(8)]
             sb = sbox_bitsliced(msb, lambda a, b: a ^ b, lambda a, b: a & b,
                                 lambda a: ~a)
-            lsb = jnp.stack([sb[7 - i] for i in range(8)])  # (8, Kw, TB)
-            return jax.lax.dynamic_update_slice(acc, lsb[None], (by, 0, 0, 0))
-
-        return jax.lax.fori_loop(0, 16, byte_body, jnp.zeros_like(planes))
+            out.append(jnp.stack([sb[7 - i] for i in range(8)]))
+        return jnp.stack(out)
 
     def shift_rows(planes):
         # static permutation of the byte axis (no captured index constants)
