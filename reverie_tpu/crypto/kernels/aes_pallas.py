@@ -32,14 +32,13 @@ def _aes_kernel(rkp_ref, ctr_ref, out_ref):
     """State as one (16, 8, Kw, TB) u32 tensor; rounds via fori_loop (small
     trace); SubBytes via an inner fori over byte positions (small VMEM live
     set)."""
-    rkp = rkp_ref[:]  # (11, 16, 8, Kw)
     ctr = ctr_ref[:]  # (16, 8, TB) int32 0/1
-    Kw = rkp.shape[-1]
+    Kw = rkp_ref.shape[-1]
     TB = ctr.shape[-1]
 
     ones = jnp.asarray(0xFFFFFFFF, U32)
     init = jnp.where(ctr[:, :, None, :] != 0, ones, jnp.asarray(0, U32)) ^ \
-        rkp[0][:, :, :, None]  # (16, 8, Kw, TB)
+        rkp_ref[0][:, :, :, None]  # (16, 8, Kw, TB)
 
     def sub_bytes(planes):
         # static unroll over the 16 byte positions (Mosaic has no dynamic
@@ -77,12 +76,13 @@ def _aes_kernel(rkp_ref, ctr_ref, out_ref):
         planes = sub_bytes(planes)
         planes = shift_rows(planes)
         planes = mix_columns(planes)
-        return planes ^ rkp[rnd][:, :, :, None]
+        # dynamic round-key read stays a *ref* index (Mosaic supports it)
+        return planes ^ rkp_ref[rnd][:, :, :, None]
 
     planes = jax.lax.fori_loop(1, 10, round_body, init)
     planes = sub_bytes(planes)
     planes = shift_rows(planes)
-    planes = planes ^ rkp[10][:, :, :, None]
+    planes = planes ^ rkp_ref[10][:, :, :, None]
     out_ref[:] = planes
 
 
