@@ -14,9 +14,10 @@ ctrp = aj.counter_planes(B)
 mask = jnp.asarray(np.full(R*8//32, 0xFFFFFFFF, np.uint32))
 
 fx = jax.jit(aj.aes_ctr_tape_gf2)
-fp = jax.jit(lambda a,b,c: aes_ctr_tape_gf2_pallas(a,b,c))
+fp = jax.jit(lambda a,c,b=None: aes_ctr_tape_gf2_pallas(a, B, c), static_argnums=())
+fp2 = jax.jit(lambda a,c: aes_ctr_tape_gf2_pallas(a, B2, c))
 t0=time.time(); ref = np.asarray(fx(rkp, jnp.asarray(ctrp), mask)); print(f'xla warm {time.time()-t0:.1f}s', flush=True)
-t0=time.time(); got = np.asarray(fp(rkp, jnp.asarray(ctrp.astype(np.int32)), mask)); print(f'pallas warm {time.time()-t0:.1f}s', flush=True)
+t0=time.time(); got = np.asarray(fp(rkp, mask)); print(f'pallas warm {time.time()-t0:.1f}s', flush=True)
 print('match:', np.array_equal(got, ref), flush=True)
 
 # timing at bench scale
@@ -25,5 +26,5 @@ ctr2x = jnp.asarray(aj.counter_planes(B2))
 ctr2p = jnp.asarray(aj.counter_planes(B2).astype(np.int32))
 o = fx(rkp, ctr2x, mask); jax.block_until_ready(o)
 t0=time.time(); o = fx(rkp, ctr2x, mask); jax.block_until_ready(o); print(f'xla steady {time.time()-t0:.3f}s', flush=True)
-o = fp(rkp, ctr2p, mask); jax.block_until_ready(o)
-t0=time.time(); o = fp(rkp, ctr2p, mask); jax.block_until_ready(o); print(f'pallas steady {time.time()-t0:.3f}s', flush=True)
+o = fp2(rkp, mask); jax.block_until_ready(o)
+t0=time.time(); o = fp2(rkp, mask); jax.block_until_ready(o); print(f'pallas steady {time.time()-t0:.3f}s', flush=True)

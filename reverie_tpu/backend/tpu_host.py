@@ -338,14 +338,29 @@ class TpuKKW:
 
         from ..crypto.kernels import aes_jax as aj
 
+        import os as _os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and not _os.environ.get("REVERIE_NO_PALLAS")
+        )
         if "aes" not in self._hash_fns:
-            self._hash_fns["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
+            if use_pallas:
+                from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
+
+                self._hash_fns["aes"] = jax.jit(
+                    aes_ctr_tape_gf2_pallas, static_argnums=(1,)
+                )
+            else:
+                self._hash_fns["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
         rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
-        ctrp = aj.counter_planes(nblocks)
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
             mask = aj.lane_mask_from_omit(omit, R)
+        if use_pallas:
+            return self._hash_fns["aes"](jnp.asarray(rkp), nblocks, jnp.asarray(mask))
+        ctrp = aj.counter_planes(nblocks)
         return self._hash_fns["aes"](
             jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
         )

@@ -28,102 +28,111 @@ from .sbox_circuit import sbox_bitsliced
 U32 = jnp.uint32
 
 
-def _aes_kernel(rkp_ref, ctr_ref, out_ref):
-    """State as one (16, 8, Kw, TB) u32 tensor; rounds via fori_loop (small
-    trace); SubBytes via an inner fori over byte positions (small VMEM live
-    set)."""
-    ctr = ctr_ref[:]  # (16, 8, TB) int32 0/1
+def _aes_kernel(tb: int, rkp_ref, out_ref):
+    """State as a tuple of 128 (TB, Kw) u32 planes (byte-major, bit-minor):
+    ~32 KB each keeps the VMEM live-set small.  Rounds run under a fori_loop
+    with the plane tuple as carry; round keys are read per round via a
+    dynamic *ref* index (supported by Mosaic).  Counter-block bits are
+    derived in-kernel from the grid position (big-endian 128-bit CTR with
+    the low 64 bits = block index)."""
     Kw = rkp_ref.shape[-1]
-    TB = ctr.shape[-1]
+    TB = tb
 
-    ones = jnp.asarray(0xFFFFFFFF, U32)
-    init = jnp.where(ctr[:, :, None, :] != 0, ones, jnp.asarray(0, U32)) ^ \
-        rkp_ref[0][:, :, :, None]  # (16, 8, Kw, TB)
+    rk0 = rkp_ref[0]  # (16, 8, Kw)
+    base = (pl.program_id(0) * TB).astype(U32)
+    idx = base + jax.lax.broadcasted_iota(U32, (TB, Kw), 0)
+
+    def init_plane(by, bit):
+        rk = rk0[by, bit][None, :]  # (1, Kw)
+        shift = 8 * (15 - by) + bit
+        if by < 8 or shift >= 32:
+            return jnp.broadcast_to(rk, (TB, Kw))
+        bitval = (idx >> np.uint32(shift)) & jnp.asarray(1, U32)
+        return (jnp.zeros((TB, Kw), U32) - bitval) ^ rk
+
+    planes = tuple(init_plane(by, bit) for by in range(16) for bit in range(8))
 
     def sub_bytes(planes):
-        # static unroll over the 16 byte positions (Mosaic has no dynamic
-        # value indexing); the round loop is a fori so this traces once
         out = []
         for by in range(16):
-            msb = [planes[by, 7 - i] for i in range(8)]
+            msb = [planes[by * 8 + 7 - i] for i in range(8)]
             sb = sbox_bitsliced(msb, lambda a, b: a ^ b, lambda a, b: a & b,
                                 lambda a: ~a)
-            out.append(jnp.stack([sb[7 - i] for i in range(8)]))
-        return jnp.stack(out)
+            out.extend(sb[7 - i] for i in range(8))
+        return tuple(out)
 
     def shift_rows(planes):
-        # static permutation of the byte axis (no captured index constants)
-        return jnp.stack([planes[int(j)] for j in _SHIFT_ROWS])
+        return tuple(
+            planes[int(_SHIFT_ROWS[by]) * 8 + bit]
+            for by in range(16)
+            for bit in range(8)
+        )
+
+    def xtime(b):
+        return [b[7], b[0] ^ b[7], b[1], b[2] ^ b[7], b[3] ^ b[7], b[4], b[5], b[6]]
 
     def mix_columns(planes):
-        # planes: (16, 8, Kw, TB); rows r = byte indices r::4
-        rows = planes.reshape(4, 4, 8, Kw, TB)  # (col, row, bit, ...)
-        r = [rows[:, i] for i in range(4)]  # each (4cols, 8, Kw, TB)
-
-        def xt(a):
-            return jnp.stack(
-                [a[:, 7], a[:, 0] ^ a[:, 7], a[:, 1], a[:, 2] ^ a[:, 7],
-                 a[:, 3] ^ a[:, 7], a[:, 4], a[:, 5], a[:, 6]], axis=1)
-
-        x = [xt(a) for a in r]
-        n0 = x[0] ^ x[1] ^ r[1] ^ r[2] ^ r[3]
-        n1 = r[0] ^ x[1] ^ x[2] ^ r[2] ^ r[3]
-        n2 = r[0] ^ r[1] ^ x[2] ^ x[3] ^ r[3]
-        n3 = x[0] ^ r[0] ^ r[1] ^ r[2] ^ x[3]
-        return jnp.stack([n0, n1, n2, n3], axis=1).reshape(16, 8, Kw, TB)
+        out = [None] * 128
+        for c in range(4):
+            rows = [[planes[(4 * c + r) * 8 + bit] for bit in range(8)] for r in range(4)]
+            xt = [xtime(r) for r in rows]
+            for i in range(8):
+                out[(4 * c + 0) * 8 + i] = xt[0][i] ^ xt[1][i] ^ rows[1][i] ^ rows[2][i] ^ rows[3][i]
+                out[(4 * c + 1) * 8 + i] = rows[0][i] ^ xt[1][i] ^ xt[2][i] ^ rows[2][i] ^ rows[3][i]
+                out[(4 * c + 2) * 8 + i] = rows[0][i] ^ rows[1][i] ^ xt[2][i] ^ xt[3][i] ^ rows[3][i]
+                out[(4 * c + 3) * 8 + i] = xt[0][i] ^ rows[0][i] ^ rows[1][i] ^ rows[2][i] ^ xt[3][i]
+        return tuple(out)
 
     def round_body(rnd, planes):
         planes = sub_bytes(planes)
         planes = shift_rows(planes)
         planes = mix_columns(planes)
-        # dynamic round-key read stays a *ref* index (Mosaic supports it)
-        return planes ^ rkp_ref[rnd][:, :, :, None]
+        rk = rkp_ref[rnd]  # (16, 8, Kw) -- dynamic ref read
+        return tuple(
+            planes[by * 8 + bit] ^ rk[by, bit][None, :]
+            for by in range(16)
+            for bit in range(8)
+        )
 
-    planes = jax.lax.fori_loop(1, 10, round_body, init)
+    planes = jax.lax.fori_loop(1, 10, round_body, planes)
     planes = sub_bytes(planes)
     planes = shift_rows(planes)
-    planes = planes ^ rkp_ref[10][:, :, :, None]
-    out_ref[:] = planes
+    rk10 = rkp_ref[10]
+    for by in range(16):
+        for bit in range(8):
+            out_ref[by, bit] = planes[by * 8 + bit] ^ rk10[by, bit][None, :]
 
 
-def aes_ctr_planes_pallas(rkp, ctrp_i32, tile_b: int = 128, interpret: bool = False):
-    """rkp: (11, 16, 8, Kw) u32; ctrp_i32: (16, 8, B) int32 (B % tile_b == 0).
-    Returns keystream planes (16, 8, Kw, B) u32."""
+def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool = False):
+    """rkp: (11, 16, 8, Kw) u32.  Returns keystream planes (16,8,B,Kw) u32."""
     Kw = rkp.shape[-1]
-    B = ctrp_i32.shape[-1]
-    assert B % tile_b == 0
-    grid = (B // tile_b,)
+    assert n_blocks % tile_b == 0
+    grid = (n_blocks // tile_b,)
     return pl.pallas_call(
-        _aes_kernel,
-        out_shape=jax.ShapeDtypeStruct((16, 8, Kw, B), jnp.uint32),
+        functools.partial(_aes_kernel, tile_b),
+        out_shape=jax.ShapeDtypeStruct((16, 8, n_blocks, Kw), jnp.uint32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((11, 16, 8, Kw), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 8, tile_b), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, 8, Kw, tile_b), lambda i: (0, 0, 0, i),
+        out_specs=pl.BlockSpec((16, 8, tile_b, Kw), lambda i: (0, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rkp, ctrp_i32)
+    )(rkp)
 
 
-def aes_ctr_tape_gf2_pallas(rkp, ctrp_i32, lane_mask, tile_b: int = 128,
+def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, tile_b: int = 32,
                             interpret: bool = False):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2 using the Pallas core.
     Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple."""
     Kw = rkp.shape[-1]
-    B = ctrp_i32.shape[-1]
+    B = n_blocks
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
-    if Bp != B:
-        ctrp_i32 = jnp.concatenate(
-            [ctrp_i32, jnp.zeros((16, 8, Bp - B), ctrp_i32.dtype)], axis=-1
-        )
-    planes = aes_ctr_planes_pallas(rkp, ctrp_i32, tile_b, interpret)
-    planes = planes[..., :B]
+    planes = aes_ctr_planes_pallas(rkp, Bp, tile_b, interpret)
+    planes = planes[:, :, :B]  # (16, 8, B, Kw)
     # m = block*128 + byte*8 + j uses bit (7-j)
-    words = jnp.transpose(planes[:, ::-1], (3, 0, 1, 2)).reshape(B * 128, Kw)
+    words = jnp.transpose(planes[:, ::-1], (2, 0, 1, 3)).reshape(B * 128, Kw)
     m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
     words = ((words & m1) << 1) | ((words >> 1) & m1)
     words = ((words & m2_) << 2) | ((words >> 2) & m2_)
