@@ -1,5 +1,8 @@
 """Generate CPU-golden proofs for tools/tpu_check.py (run with JAX_PLATFORMS=cpu
 or PYTHONPATH trick so the axon platform is not claimed)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import pickle
 import numpy as np
 from reverie_tpu.circuit.builders import (

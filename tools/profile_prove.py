@@ -1,3 +1,6 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os, time
 os.environ['REVERIE_PROFILE'] = '1'
 import numpy as np, jax

@@ -1,5 +1,8 @@
 """Hardware validation: prove+verify on the real TPU, proof bytes vs CPU-golden
 pickles (regenerate with tools/make_goldens.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, numpy as np
 import jax, os
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
