@@ -87,7 +87,7 @@ def bench_z64():
     from reverie_tpu.backend.tpu_host import TpuKKW
     from reverie_tpu.circuit.builders import z64_mul_bench_circuit
 
-    n = 20_000
+    n = int(os.environ.get("BENCH_Z64_GATES", 5_000))
     prog, wit2, witz = z64_mul_bench_circuit(n)
     sys_ = TpuKKW(prog)
     seeds = np.random.RandomState(2).randint(0, 256, size=(256, 16), dtype=np.uint8)
@@ -146,4 +146,8 @@ if __name__ == "__main__":
     which = sys.argv[1:] or list(ALL)
     for name in which:
         log(f"=== {name} ===")
-        ALL[name]()
+        try:
+            ALL[name]()
+        except Exception as e:  # keep the battery running past one failure
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+            print(json.dumps({"metric": name, "value": None, "error": str(e)[:200]}))
