@@ -340,9 +340,13 @@ class TpuKKW:
 
         import os as _os
 
+        nblocks_est = ((cc.m2 + BATCH - 1) // BATCH) * GF2_BATCH_BYTES // 16
         use_pallas = (
             jax.default_backend() == "tpu"
             and not _os.environ.get("REVERIE_NO_PALLAS")
+            # hardware-validated range; larger tapes diverge on the axon
+            # backend (fusion miscompile under investigation) -> XLA kernel
+            and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 4096))
         )
         if "aes" not in self._hash_fns:
             if use_pallas:

@@ -130,9 +130,11 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, tile_b: int = 32,
     B = n_blocks
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     planes = aes_ctr_planes_pallas(rkp, Bp, tile_b, interpret)
+    planes = jax.lax.optimization_barrier(planes)
     planes = planes[:, :, :B]  # (16, 8, B, Kw)
     # m = block*128 + byte*8 + j uses bit (7-j)
     words = jnp.transpose(planes[:, ::-1], (2, 0, 1, 3)).reshape(B * 128, Kw)
+    words = jax.lax.optimization_barrier(words)
     m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
     words = ((words & m1) << 1) | ((words >> 1) & m1)
     words = ((words & m2_) << 2) | ((words >> 2) & m2_)
