@@ -347,6 +347,9 @@ class TpuKKW:
             # hardware-validated range; larger tapes diverge on the axon
             # backend (fusion miscompile under investigation) -> XLA kernel
             and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 4096))
+            # lane count: the kernel holds (tile_b, R*8/32) planes in VMEM;
+            # batch proving (R = N*256) exceeds it -> XLA kernel
+            and R <= 256
         )
         if "aes" not in self._hash_fns:
             if use_pallas:
