@@ -72,7 +72,11 @@ def main() -> None:
 
     t0 = time.time()
     ok = sys_.verify(proof)
-    log(f"  verify: {time.time()-t0:.2f}s ok={ok}")
+    log(f"  warmup verify (incl. jit): {time.time()-t0:.2f}s ok={ok}")
+    t0 = time.time()
+    ok = sys_.verify(proof) and ok
+    dt_verify = time.time() - t0
+    log(f"  verify: {dt_verify:.2f}s ok={ok}")
     if not ok:
         # Correctness is separately evidenced by the golden differential
         # tests (tools/tpu_check.py); log loudly but still report throughput.
@@ -85,9 +89,13 @@ def main() -> None:
                 "value": round(gates_per_sec),
                 "unit": "gates/s",
                 "vs_baseline": round(gates_per_sec / REF_GATES_PER_SEC, 3),
+                "verify_ok": bool(ok),
+                "verify_s": round(dt_verify, 3),
             }
         )
     )
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ Roles (reference transcript/mod.rs:15-97):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -263,11 +264,18 @@ class Transcript:
 
 
 class Instance:
-    """Wire arena + gate dispatch for one domain, G groups at once."""
+    """Wire arena + gate dispatch for one domain, G groups at once.
+
+    With REVERIE_DEBUG set, prover execution carries the cleartext value of
+    every wire alongside its shares and asserts per-gate equality between the
+    MPC result and the cleartext gate semantics -- the runtime analog of the
+    reference's debug-only `Wire::value()` checks (interpreter/mod.rs:16-20).
+    """
 
     def __init__(self, domain: str, t: Transcript, cells: int):
         self.domain = domain
         self.t = t
+        self.debug = bool(os.environ.get("REVERIE_DEBUG")) and t.mode == PROVER
         G = t.G
         if domain == "gf2":
             self.mask = np.zeros((cells, G), dtype=U64)
@@ -275,6 +283,31 @@ class Instance:
         else:
             self.mask = np.zeros((cells, G, 8, 8), dtype=U64)
             self.corr = np.zeros((cells, G, 8), dtype=U64)
+
+    def _value(self, idx) -> np.ndarray:
+        """Cleartext wire value: reconstruct(mask) + corr (Wire::value())."""
+        a = self._alg()
+        return a.recon_add(a.reconstruct(self.mask[idx]), self.corr[idx])
+
+    def _debug_check(self, g: Gate, expect: Optional[np.ndarray]) -> None:
+        got = self._value(g.dst)
+        if expect is not None and np.any(got != expect):
+            raise AssertionError(
+                f"REVERIE_DEBUG: {self.domain} {g.op.name} gate at wire "
+                f"{g.dst}: MPC value diverges from cleartext semantics"
+            )
+        if g.op == Op.INPUT:
+            # honest execution: every repetition carries the same witness
+            if self.domain == "gf2":
+                full = U64(0xFFFFFFFFFFFFFFFF)
+                if np.any((got != 0) & (got != full)):
+                    raise AssertionError(
+                        f"REVERIE_DEBUG: gf2 INPUT wire {g.dst}: repetitions disagree"
+                    )
+            elif np.any(got != got[..., :1]):
+                raise AssertionError(
+                    f"REVERIE_DEBUG: z64 INPUT wire {g.dst}: repetitions disagree"
+                )
 
     def _grow(self, cells: int) -> None:
         if cells > len(self.mask):
@@ -312,6 +345,43 @@ class Instance:
         return z64.recon_from_u64(val, self.t.G)
 
     def step(self, g: Gate) -> None:
+        a = self._alg()
+        op = g.op
+        if self.debug:
+            self._step_checked(g)
+            return
+        self._step(g)
+
+    def _step_checked(self, g: Gate) -> None:
+        """Debug-mode step: capture source cleartext values before the gate
+        (dst may alias a source), execute, then assert the MPC output equals
+        the cleartext gate semantics."""
+        a = self._alg()
+        op = g.op
+        v1 = self._value(g.src1) if op not in (Op.INPUT, Op.RANDOM, Op.CONST) else None
+        v2 = self._value(g.src2) if op in (Op.ADD, Op.SUB, Op.MUL) else None
+        self._step(g)
+        if op == Op.ADD:
+            expect = a.recon_add(v1, v2)
+        elif op == Op.SUB:
+            expect = a.recon_sub(v1, v2)
+        elif op == Op.MUL:
+            expect = a.recon_mul(v1, v2)
+        elif op == Op.ADDC:
+            expect = a.recon_add(v1, self._const_recon(g.const))
+        elif op == Op.SUBC:
+            expect = a.recon_sub(v1, self._const_recon(g.const))
+        elif op == Op.MULC:
+            expect = a.recon_mul(v1, self._const_recon(g.const))
+        elif op == Op.CONST:
+            expect = self._const_recon(g.const)
+        elif op == Op.INPUT:
+            expect = None  # INPUT consistency handled in _debug_check
+        else:
+            return  # RANDOM / ASSERT_ZERO: no dst value to check
+        self._debug_check(g, expect)
+
+    def _step(self, g: Gate) -> None:
         a = self._alg()
         op = g.op
         if op == Op.INPUT:

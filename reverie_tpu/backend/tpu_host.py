@@ -351,24 +351,28 @@ class TpuKKW:
             # batch proving (R = N*256) exceeds it -> XLA kernel
             and R <= 256
         )
-        if "aes" not in self._hash_fns:
+        # cache key includes the kernel choice: prove() (R=256) and
+        # prove_batch() (R=N*256) may pick different kernels with different
+        # call conventions on one TpuKKW instance
+        fn_key = ("aes", use_pallas)
+        if fn_key not in self._hash_fns:
             if use_pallas:
                 from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
 
-                self._hash_fns["aes"] = jax.jit(
+                self._hash_fns[fn_key] = jax.jit(
                     aes_ctr_tape_gf2_pallas, static_argnums=(1,)
                 )
             else:
-                self._hash_fns["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
+                self._hash_fns[fn_key] = jax.jit(aj.aes_ctr_tape_gf2)
         rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
             mask = aj.lane_mask_from_omit(omit, R)
         if use_pallas:
-            return self._hash_fns["aes"](jnp.asarray(rkp), nblocks, jnp.asarray(mask))
+            return self._hash_fns[fn_key](jnp.asarray(rkp), nblocks, jnp.asarray(mask))
         ctrp = aj.counter_planes(nblocks)
-        return self._hash_fns["aes"](
+        return self._hash_fns[fn_key](
             jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
         )
 

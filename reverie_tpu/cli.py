@@ -121,9 +121,17 @@ def cmd_oneshot_zk(args) -> int:
 
 
 def cmd_version(args) -> int:
+    """Version + build metadata (main.rs:277-286: `built` crate embeds the
+    git SHA and dirty flag at build time; here they are resolved at run time
+    from the enclosing git checkout when one exists)."""
     from . import __version__
+    from .utils.buildinfo import git_commit_info
 
     print(f"reverie_tpu_version: {__version__}")
+    sha, dirty = git_commit_info()
+    if sha is not None:
+        print(f"reverie_tpu_commit_sha: {sha}")
+        print(f"reverie_tpu_uncommitted_changes: {'TRUE' if dirty else 'FALSE'}")
     return 0
 
 

@@ -42,7 +42,22 @@ class ProofSingle:
     preprocessing: List[OpenPreprocessing]
 
     def check_format(self, online_reps: int, preprocessing_reps: int) -> bool:
-        return len(self.online) == online_reps and len(self.preprocessing) == preprocessing_reps
+        """Length and field-shape validation (proof/mod.rs:229-236 checks the
+        list lengths; the omit/seed checks are additional hardening -- the
+        reference panics on out-of-range omit, a bool API must not)."""
+        if len(self.online) != online_reps:
+            return False
+        if len(self.preprocessing) != preprocessing_reps:
+            return False
+        for o in self.online:
+            if not (0 <= o.omit < PLAYERS):
+                return False
+            if len(o.seeds) != PLAYERS * KEY_SIZE:
+                return False
+        for p in self.preprocessing:
+            if len(p.seed) != KEY_SIZE or len(p.comm_online) != HASH_SIZE:
+                return False
+        return True
 
 
 @dataclasses.dataclass

@@ -130,7 +130,13 @@ def verify(
     for g in range(n_onl_groups):
         o2 = proof.gf2.online[g * 8 : (g + 1) * 8]
         oz = proof.z64.online[g * 8 : (g + 1) * 8]
-        h, ok = _run_online_group(o2, oz, program, wire_counts, m2, mz)
+        try:
+            h, ok = _run_online_group(o2, oz, program, wire_counts, m2, mz)
+        except (AssertionError, ValueError):
+            # structurally malformed openings (e.g. unequal stream lengths in
+            # a packed group): the reference panics here
+            # (gf2/share.rs:157-164 assert_eq); a bool API rejects cleanly
+            return False
         zero_ok &= ok
         hashes_online.append(h)
     hashes_online = (

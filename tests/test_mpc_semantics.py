@@ -103,3 +103,47 @@ def test_random_circuit_matches_cleartext():
     vals = gf2_values(ins)
     for w in range(len(gf2_clear)):
         assert np.all(vals[w] == gf2_clear[w]), f"wire {w}"
+
+
+# ---------------------------------------------------------------------------
+# Runtime debug mode (REVERIE_DEBUG): per-gate cleartext equality asserts
+# ---------------------------------------------------------------------------
+
+
+def test_debug_mode_honest_prove(monkeypatch):
+    """REVERIE_DEBUG=1 carries cleartext wires through the prover and checks
+    every gate; an honest execution passes and produces the same proof."""
+    from reverie_tpu.circuit.builders import mixed_b2a_circuit
+    from reverie_tpu.proof import prove, verify
+
+    prog, wit2, witz = mixed_b2a_circuit()
+    seeds = np.random.RandomState(9).randint(0, 256, size=(32, 8, 16), dtype=np.uint8)
+    plain = prove(prog, wit2, witz, seeds=seeds)
+    monkeypatch.setenv("REVERIE_DEBUG", "1")
+    checked = prove(prog, wit2, witz, seeds=seeds)
+    assert checked.to_bytes() == plain.to_bytes()
+    assert verify(checked, prog)
+
+
+def test_debug_mode_detects_corrupted_state(monkeypatch):
+    """Tampering with a wire's correction between gates trips the per-gate
+    cleartext assert."""
+    monkeypatch.setenv("REVERIE_DEBUG", "1")
+    prog = [
+        CombineOp.gf2(Gate(Op.INPUT, dst=0)),
+        CombineOp.gf2(Gate(Op.INPUT, dst=1)),
+    ]
+    rng = np.random.RandomState(2)
+    G = 2
+    seeds = rng.randint(0, 256, size=(G, 8, KEY_SIZE), dtype=np.uint8)
+    m2, mz = cpu.count_masks(prog + [CombineOp.gf2(Gate(Op.MUL, dst=2, src1=0, src2=1))])
+    pk = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(G, 8, 8, KEY_SIZE)
+    tape2, tapez = cpu.make_tapes(pk, None, m2, mz)
+    t2 = cpu.Transcript("gf2", cpu.PROVER, G, tape2, witness=iter([True, True, True]))
+    tz = cpu.Transcript("z64", cpu.PROVER, G, tapez, witness=iter([]))
+    ins = cpu.CombineInstance(cpu.Instance("gf2", t2, 4), cpu.Instance("z64", tz, 1))
+    for op in prog:
+        ins.step(op)
+    ins.gf2.corr[0] ^= np.uint64(0x0100)  # flip one rep's cleartext bit
+    with pytest.raises(AssertionError, match="REVERIE_DEBUG"):
+        ins.step(CombineOp.gf2(Gate(Op.MUL, dst=2, src1=0, src2=1)))

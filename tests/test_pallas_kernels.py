@@ -1,0 +1,72 @@
+"""Pallas AES kernel coverage on CPU via interpret mode.
+
+The Pallas TPU kernel (crypto/kernels/aes_pallas.py) is differentially
+tested against the host AES-CTR golden (native C, KAT-validated) on every
+CPU test run, so the kernel's math is exercised without TPU hardware
+(hardware execution is separately validated by tools/tpu_check.py).
+"""
+
+import numpy as np
+import pytest
+
+from reverie_tpu.backend.tpu_host import build_tapes
+from reverie_tpu.crypto import expand_seeds
+from reverie_tpu.crypto.kernels import aes_jax as aj
+from reverie_tpu.crypto.kernels.aes_pallas import (
+    aes_ctr_planes_pallas,
+    aes_ctr_tape_gf2_pallas,
+)
+
+
+def _keys(R: int) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    seeds = rng.randint(0, 256, size=(R, 16), dtype=np.uint8)
+    return expand_seeds(seeds).reshape(R, 8, 16)
+
+
+@pytest.mark.parametrize("n_blocks", [32, 48])
+def test_pallas_tape_matches_host_golden(n_blocks):
+    R = 32  # Kw = 8
+    pk = _keys(R)
+    rkp = aj.round_key_planes(pk.reshape(-1, 16))
+    mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+    m2 = n_blocks * 128
+    golden, _, _ = build_tapes(pk, None, m2, 0)  # (m2, R)
+    tape = np.asarray(
+        aes_ctr_tape_gf2_pallas(rkp, n_blocks, mask, tile_b=16, interpret=True)
+    )[:m2]
+    np.testing.assert_array_equal(tape, golden)
+
+
+def test_pallas_tape_lane_mask_omits_players():
+    R = 32
+    pk = _keys(R)
+    rkp = aj.round_key_planes(pk.reshape(-1, 16))
+    omit = np.arange(R) % 9  # player 0..7 plus "none" (8)
+    mask = aj.lane_mask_from_omit(omit, R)
+    m2 = 32 * 128
+    golden, _, _ = build_tapes(pk, omit, m2, 0)
+    tape = np.asarray(
+        aes_ctr_tape_gf2_pallas(rkp, 32, mask, tile_b=16, interpret=True)
+    )[:m2]
+    np.testing.assert_array_equal(tape, golden)
+
+
+def test_pallas_planes_match_xla_kernel_tape():
+    """Planes kernel + the XLA post-processing path agree with aes_jax."""
+    R = 32
+    pk = _keys(R)
+    rkp = aj.round_key_planes(pk.reshape(-1, 16))
+    mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+    B = 16
+    ctrp = aj.counter_planes(B)
+    ref = np.asarray(aj.aes_ctr_tape_gf2(rkp, ctrp, mask))
+    planes = np.asarray(aes_ctr_planes_pallas(rkp, B, tile_b=16, interpret=True))
+    # replicate the post-processing in NumPy
+    words = np.transpose(planes[:, ::-1], (2, 0, 1, 3)).reshape(B * 128, -1)
+    m1, m2_, m4 = np.uint32(0x55555555), np.uint32(0x33333333), np.uint32(0x0F0F0F0F)
+    words = ((words & m1) << np.uint32(1)) | ((words >> np.uint32(1)) & m1)
+    words = ((words & m2_) << np.uint32(2)) | ((words >> np.uint32(2)) & m2_)
+    words = ((words & m4) << np.uint32(4)) | ((words >> np.uint32(4)) & m4)
+    got = np.ascontiguousarray(words).view(np.uint8).reshape(B * 128, -1)
+    np.testing.assert_array_equal(got, ref)
