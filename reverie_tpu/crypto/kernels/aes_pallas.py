@@ -122,23 +122,119 @@ def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool 
     )(rkp)
 
 
+def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, out_ref):
+    """AES-CTR + tape assembly fused in one kernel.
+
+    Extends _aes_kernel by writing the *tape words* directly: output element
+    (b, by, j, kw) is the bit-reversed (player p at bit 7-p), lane-masked
+    tape word for tape index b*128 + by*8 + j.  Doing the byte-reversal,
+    bit-reversal, and masking in-kernel removes the XLA transpose/bit-twiddle
+    fusion that the axon backend miscompiles at large B (round-2 triage:
+    kernel correct at 15626 blocks, surrounding fusion diverges) and skips a
+    full keystream round-trip through HBM.
+    """
+    Kw = rkp_ref.shape[-1]
+    TB = tb
+
+    rk0 = rkp_ref[0]  # (16, 8, Kw)
+    base = (pl.program_id(0) * TB).astype(U32)
+    idx = base + jax.lax.broadcasted_iota(U32, (TB, Kw), 0)
+
+    def init_plane(by, bit):
+        rk = rk0[by, bit][None, :]  # (1, Kw)
+        shift = 8 * (15 - by) + bit
+        if by < 8 or shift >= 32:
+            return jnp.broadcast_to(rk, (TB, Kw))
+        bitval = (idx >> np.uint32(shift)) & jnp.asarray(1, U32)
+        return (jnp.zeros((TB, Kw), U32) - bitval) ^ rk
+
+    planes = tuple(init_plane(by, bit) for by in range(16) for bit in range(8))
+
+    def sub_bytes(planes):
+        out = []
+        for by in range(16):
+            msb = [planes[by * 8 + 7 - i] for i in range(8)]
+            sb = sbox_bitsliced(msb, lambda a, b: a ^ b, lambda a, b: a & b,
+                                lambda a: ~a)
+            out.extend(sb[7 - i] for i in range(8))
+        return tuple(out)
+
+    def shift_rows(planes):
+        return tuple(
+            planes[int(_SHIFT_ROWS[by]) * 8 + bit]
+            for by in range(16)
+            for bit in range(8)
+        )
+
+    def xtime(b):
+        return [b[7], b[0] ^ b[7], b[1], b[2] ^ b[7], b[3] ^ b[7], b[4], b[5], b[6]]
+
+    def mix_columns(planes):
+        out = [None] * 128
+        for c in range(4):
+            rows = [[planes[(4 * c + r) * 8 + bit] for bit in range(8)] for r in range(4)]
+            xt = [xtime(r) for r in rows]
+            for i in range(8):
+                out[(4 * c + 0) * 8 + i] = xt[0][i] ^ xt[1][i] ^ rows[1][i] ^ rows[2][i] ^ rows[3][i]
+                out[(4 * c + 1) * 8 + i] = rows[0][i] ^ xt[1][i] ^ xt[2][i] ^ rows[2][i] ^ rows[3][i]
+                out[(4 * c + 2) * 8 + i] = rows[0][i] ^ rows[1][i] ^ xt[2][i] ^ xt[3][i] ^ rows[3][i]
+                out[(4 * c + 3) * 8 + i] = xt[0][i] ^ rows[0][i] ^ rows[1][i] ^ rows[2][i] ^ xt[3][i]
+        return tuple(out)
+
+    def round_body(rnd, planes):
+        planes = sub_bytes(planes)
+        planes = shift_rows(planes)
+        planes = mix_columns(planes)
+        rk = rkp_ref[rnd]  # (16, 8, Kw) -- dynamic ref read
+        return tuple(
+            planes[by * 8 + bit] ^ rk[by, bit][None, :]
+            for by in range(16)
+            for bit in range(8)
+        )
+
+    planes = jax.lax.fori_loop(1, 10, round_body, planes)
+    planes = sub_bytes(planes)
+    planes = shift_rows(planes)
+    rk10 = rkp_ref[10]
+    mask = mask_ref[0][None, :]  # (1, Kw)
+    m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
+    for by in range(16):
+        for j in range(8):
+            # tape index b*128 + by*8 + j reads keystream bit (7-j)
+            w = planes[by * 8 + (7 - j)] ^ rk10[by, 7 - j][None, :]
+            # bit-reverse within each byte lane: player p -> bit (7-p)
+            w = ((w & m1) << 1) | ((w >> 1) & m1)
+            w = ((w & m2_) << 2) | ((w >> 2) & m2_)
+            w = ((w & m4) << 4) | ((w >> 4) & m4)
+            out_ref[:, by, j] = w & mask
+
+
 def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, tile_b: int = 32,
-                            interpret: bool = False):
-    """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2 using the Pallas core.
-    Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple."""
+                            tile_kw: int = 64, interpret: bool = False):
+    """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2, fully in-kernel.
+    Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple and
+    grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
+    stay within VMEM."""
     Kw = rkp.shape[-1]
     B = n_blocks
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
-    planes = aes_ctr_planes_pallas(rkp, Bp, tile_b, interpret)
-    planes = jax.lax.optimization_barrier(planes)
-    planes = planes[:, :, :B]  # (16, 8, B, Kw)
-    # m = block*128 + byte*8 + j uses bit (7-j)
-    words = jnp.transpose(planes[:, ::-1], (2, 0, 1, 3)).reshape(B * 128, Kw)
-    words = jax.lax.optimization_barrier(words)
-    m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
-    words = ((words & m1) << 1) | ((words >> 1) & m1)
-    words = ((words & m2_) << 2) | ((words >> 2) & m2_)
-    words = ((words & m4) << 4) | ((words >> 4) & m4)
-    words = words & lane_mask[None, :]
-    by = jax.lax.bitcast_convert_type(words, jnp.uint8)
-    return by.reshape(B * 128, Kw * 4)
+    kwt = min(tile_kw, Kw)
+    assert Kw % kwt == 0
+    grid = (Bp // tile_b, Kw // kwt)
+    words = pl.pallas_call(
+        functools.partial(_aes_tape_kernel, tile_b),
+        out_shape=jax.ShapeDtypeStruct((Bp, 16, 8, Kw), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((11, 16, 8, kwt), lambda i, k: (0, 0, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kwt), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, 16, 8, kwt), lambda i, k: (i, 0, 0, k),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rkp, lane_mask.reshape(1, Kw))
+    # (Bp,16,8,Kw) u32 -> rows of tape bytes; plain reshape + bitcast only
+    by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp,16,8,Kw,4)
+    return by.reshape(Bp * 128, Kw * 4)[: B * 128]

@@ -129,3 +129,37 @@ def test_bristol_output_assertion():
 
 def test_witness_parse():
     assert parse_witness_bits(b"0 1\n1x0") == [False, True, True, False]
+
+
+def test_program_bincode_golden_bytes():
+    """Byte-level pin of the program wire format (docs/MCIRCUIT_PROVENANCE.md):
+    enum tags are u32 LE declaration indices, usize is u64 LE, gf2 consts one
+    byte, z64 consts u64 LE.  Hand-computed, independent of the codec."""
+    import struct
+
+    from reverie_tpu.circuit import CombineOp, Gate, Op, dumps_program, load_program
+
+    prog = [
+        CombineOp.size_hint(7, 9),
+        CombineOp.gf2(Gate(Op.INPUT, dst=3)),
+        CombineOp.gf2(Gate(Op.ADDC, dst=4, src1=3, const=1)),
+        CombineOp.z64(Gate(Op.MUL, dst=2, src1=0, src2=1)),
+        CombineOp.z64(Gate(Op.SUBC, dst=5, src1=2, const=0xDEADBEEF)),
+        CombineOp.b2a(6, 10),
+        CombineOp.gf2(Gate(Op.ASSERT_ZERO, src1=4)),
+    ]
+    expect = b"".join(
+        [
+            struct.pack("<Q", 7),  # Vec length
+            struct.pack("<I", 3), struct.pack("<QQ", 7, 9),  # SizeHint(7, 9)
+            struct.pack("<I", 0), struct.pack("<I", 0), struct.pack("<Q", 3),  # GF2(Input(3))
+            struct.pack("<I", 0), struct.pack("<I", 3), struct.pack("<QQ", 4, 3), b"\x01",  # GF2(AddConst)
+            struct.pack("<I", 1), struct.pack("<I", 6), struct.pack("<QQQ", 2, 0, 1),  # Z64(Mul)
+            struct.pack("<I", 1), struct.pack("<I", 5), struct.pack("<QQ", 5, 2), struct.pack("<Q", 0xDEADBEEF),  # Z64(SubConst)
+            struct.pack("<I", 2), struct.pack("<QQ", 6, 10),  # B2A(6, 10)
+            struct.pack("<I", 0), struct.pack("<I", 8), struct.pack("<Q", 4),  # GF2(AssertZero(4))
+        ]
+    )
+    got = dumps_program(prog)
+    assert got == expect
+    assert load_program(expect) == prog
