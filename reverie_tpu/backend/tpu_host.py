@@ -219,7 +219,10 @@ def make_gf2_extractor(cc: CompiledCircuit):
             packed = _pack_rows_device(bits)  # (n//8+1, R)
             return jnp.take(packed.T, cols, axis=0)  # (K, n//8+1)
 
-        return packsel(rec_bits), packsel(cor_bits), packsel(inp_bits)
+        # one flat buffer -> a single device->host pull in the caller
+        return jnp.concatenate(
+            [packsel(b).reshape(-1) for b in (rec_bits, cor_bits, inp_bits)]
+        )
 
     return jax.jit(fn)
 
@@ -246,40 +249,76 @@ def _u64s_from_stream(stream: bytes, n: int) -> np.ndarray:
     return out
 
 
-def build_online_injection(cc: CompiledCircuit, openings2: List[OpenOnline],
-                           openingsz: List[OpenOnline]):
-    """openings: one per rep (R = len).  Returns the injected-stream arrays
-    for the VERIFY_ONL executor."""
+def _stack_streams(streams: List[bytes], nb: int) -> np.ndarray:
+    """Per-rep byte streams -> (nb, R) uint8, zero-padded/truncated to nb
+    rows per rep (lenient parsing, online.rs:124,163,171)."""
+    R = len(streams)
+    out = np.zeros((nb, R), dtype=np.uint8)
+    for r, s in enumerate(streams):
+        take = min(len(s), nb)
+        out[:take, r] = np.frombuffer(s[:take], dtype=np.uint8)
+    return out
+
+
+def build_online_injection_packed(cc: CompiledCircuit, openings2: List[OpenOnline],
+                                  openingsz: List[OpenOnline]):
+    """openings: one per rep (R = len).  Returns the *packed* proof streams
+    as small host arrays; make_online_unpacker expands them on device.
+    (Building the full (n, R) bit arrays on host costs an ~8x larger H2D
+    transfer on every verify -- ~100 MB at 1M gates.)"""
     R = len(openings2)
-    co2 = np.zeros((cc.n_corrs2, R), dtype=np.uint8)
-    in2 = np.zeros((cc.n_inputs2, R), dtype=np.uint8)
-    re2 = np.zeros((cc.n_recons2, R), dtype=np.uint8)
+    packed = dict(
+        co2p=_stack_streams([o.corrs for o in openings2], cc.n_corrs2 // 8 + 1),
+        in2p=_stack_streams([o.inputs for o in openings2], cc.n_inputs2 // 8 + 1),
+        re2p=_stack_streams([o.recons for o in openings2], cc.n_recons2 // 8 + 1),
+    )
+    omit = np.array([o.omit for o in openings2], dtype=np.int64)
+    omitz = np.array([o.omit for o in openingsz], dtype=np.int64)
     coz = np.zeros((cc.n_corrsz, R), dtype=U64)
     inz = np.zeros((cc.n_inputsz, R), dtype=U64)
     rez_val = np.zeros((cc.n_reconsz, R), dtype=U64)
-    omit = np.array([o.omit for o in openings2], dtype=np.int64)
-    omitz = np.array([o.omit for o in openingsz], dtype=np.int64)
-    for r, o in enumerate(openings2):
-        co2[:, r] = _bits_from_stream(o.corrs, cc.n_corrs2)
-        in2[:, r] = _bits_from_stream(o.inputs, cc.n_inputs2)
-        re2[:, r] = _bits_from_stream(o.recons, cc.n_recons2) << (7 - int(o.omit))
     for r, o in enumerate(openingsz):
         coz[:, r] = _u64s_from_stream(o.corrs, cc.n_corrsz)
         inz[:, r] = _u64s_from_stream(o.inputs, cc.n_inputsz)
         rez_val[:, r] = _u64s_from_stream(o.recons, cc.n_reconsz)
-    # z64 recon shares: value at the omitted player's coordinate
-    rez = np.zeros((cc.n_reconsz, R, 8), dtype=U64)
-    if cc.n_reconsz:
-        rez[:, np.arange(R), omitz] = rez_val
     coz_lo, coz_hi = up.from_u64(coz)
     inz_lo, inz_hi = up.from_u64(inz)
-    rez_lo, rez_hi = up.from_u64(rez)
-    return dict(
-        co2=co2, in2=in2, re2=re2,
-        coz_lo=coz_lo, coz_hi=coz_hi,
-        inz_lo=inz_lo, inz_hi=inz_hi,
-        rez_lo=rez_lo, rez_hi=rez_hi,
-    ), omit, omitz
+    rez_lo, rez_hi = up.from_u64(rez_val)
+    packed.update(
+        omit_u8=omit.astype(np.uint8), omitz_i32=omitz.astype(np.int32),
+        rezv_lo=rez_lo, rezv_hi=rez_hi,
+    )
+    small = dict(coz_lo=coz_lo, coz_hi=coz_hi, inz_lo=inz_lo, inz_hi=inz_hi)
+    return packed, small, omit, omitz
+
+
+def make_online_unpacker(cc: CompiledCircuit):
+    """Jitted device fn: packed proof streams -> VERIFY_ONL injection arrays
+    (bit-unpack per stream; z64 recon shares one-hot at the omitted player)."""
+    import jax
+    import jax.numpy as jnp
+
+    def unpack_bits(packed, n):
+        nb, R = packed.shape
+        if n == 0:
+            return jnp.zeros((0, R), jnp.uint8)
+        sh = jnp.uint8(7) - jnp.arange(8, dtype=jnp.uint8)
+        bits = (packed[:, None, :] >> sh[None, :, None]) & jnp.uint8(1)
+        return bits.reshape(nb * 8, R)[:n]
+
+    def fn(co2p, in2p, re2p, omit_u8, rezv_lo, rezv_hi, omitz_i32):
+        co2 = unpack_bits(co2p, cc.n_corrs2)
+        in2 = unpack_bits(in2p, cc.n_inputs2)
+        re2 = unpack_bits(re2p, cc.n_recons2) << (jnp.uint8(7) - omit_u8)[None, :]
+        R = omitz_i32.shape[0]
+        onehot = (jnp.arange(8, dtype=jnp.int32)[None, :] == omitz_i32[:, None]).astype(
+            jnp.uint32
+        )  # (R, 8)
+        rez_lo = rezv_lo[:, :, None] * onehot[None, :, :]
+        rez_hi = rezv_hi[:, :, None] * onehot[None, :, :]
+        return dict(co2=co2, in2=in2, re2=re2, rez_lo=rez_lo, rez_hi=rez_hi)
+
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -311,11 +350,11 @@ class TpuKKW:
                 cc.depth > self.SCAN_DEPTH_THRESHOLD
                 and cc.n_valsz <= 1
                 and cc.mz == 0
-                and self.mesh is None
             ):
                 from .tpu_scan import ScanExecutor
 
-                self._executors[key] = ScanExecutor(cc, mode, total_reps=R)
+                self._executors[key] = ScanExecutor(cc, mode, total_reps=R,
+                                                    mesh=self.mesh)
             else:
                 self._executors[key] = Executor(self.cc, mode, total_reps=R,
                                                 mesh=self.mesh)
@@ -442,6 +481,23 @@ class TpuKKW:
         self._hash_fns[key] = jax.jit(fn)
         return self._hash_fns[key]
 
+    def _pull_hash_fail(self):
+        """Jitted concat of (rep_h, fail[, ho2, hoz]) into one uint8 buffer:
+        a single device->host transfer (the axon tunnel charges ~30ms per
+        pull, so separate np.asarray calls dominate small-result phases)."""
+        if "pull_hf" not in self._hash_fns:
+            import jax
+            import jax.numpy as jnp
+
+            def fn(rep_h, fail, *extra):
+                parts = [rep_h.reshape(-1)]
+                parts.extend(e.reshape(-1) for e in extra)
+                parts.append(fail.reshape(-1).astype(jnp.uint8))
+                return jnp.concatenate(parts)
+
+            self._hash_fns["pull_hf"] = jax.jit(fn)
+        return self._hash_fns["pull_hf"]
+
     # -- proving ------------------------------------------------------------
     def prove(self, wit_gf2, wit_z64, seeds: Optional[np.ndarray] = None) -> Proof:
         import os as _os
@@ -494,15 +550,18 @@ class TpuKKW:
                 import jax
 
                 jax.block_until_ready(out)
-        with timer.phase("fail_check"):
-            if np.any(np.asarray(out["fail"])):
-                raise AssertionError("witness is invalid (AssertZero failed)")
-
         with timer.phase("hash"):
             rep_h, ho2, hoz = self._hash_fn(False)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"]
             )
-            rep_h, ho2, hoz = np.asarray(rep_h), np.asarray(ho2), np.asarray(hoz)
+            # one fused device->host pull: hashes + per-rep fail flags
+            buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
+            rep_h = buf[: R * 32].reshape(R, 32)
+            ho2 = buf[R * 32 : 2 * R * 32].reshape(R, 32)
+            hoz = buf[2 * R * 32 : 3 * R * 32].reshape(R, 32)
+        with timer.phase("fail_check"):
+            if buf[3 * R * 32 :].any():
+                raise AssertionError("witness is invalid (AssertZero failed)")
         with timer.phase("challenge"):
             comm = blake3(rep_h.tobytes())
 
@@ -571,11 +630,16 @@ class TpuKKW:
             cache[key] = make_gf2_extractor(cc)
         shifts_full = np.zeros(R, dtype=np.uint8)
         shifts_full[cols] = (7 - omit_sel).astype(np.uint8)
-        rec, cor, inp = cache[key](
+        buf = np.asarray(cache[key](
             out["onl2"], out["pre2"], jnp.asarray(shifts_full),
             jnp.asarray(cols.astype(np.int32)),
+        ))  # single pull: rec | cor | inp, each (K, n//8+1) flattened
+        nb_r, nb_c, nb_i = (
+            cc.n_recons2 // 8 + 1, cc.n_corrs2 // 8 + 1, cc.n_inputs2 // 8 + 1,
         )
-        rec, cor, inp = np.asarray(rec), np.asarray(cor), np.asarray(inp)
+        rec = buf[: K * nb_r].reshape(K, nb_r)
+        cor = buf[K * nb_r : K * (nb_r + nb_c)].reshape(K, nb_c)
+        inp = buf[K * (nb_r + nb_c) :].reshape(K, nb_i)
         return [
             (rec[j].tobytes(), cor[j].tobytes(), inp[j].tobytes())
             for j in range(K)
@@ -622,18 +686,22 @@ class TpuKKW:
             tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
             wit2=wit2, witz_lo=wzlo, witz_hi=wzhi,
         )
-        out = self._executor(PROVER, RT)(inp)
-        fail = np.asarray(out["fail"]).reshape(N, R)
-        if np.any(fail):
-            bad = int(np.nonzero(fail.any(axis=1))[0][0])
-            raise AssertionError(f"witness {bad} is invalid (AssertZero failed)")
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_inputs
 
+            inp = shard_inputs(self.mesh, inp)
+        out = self._executor(PROVER, RT)(inp)
         rep_h, ho2, hoz = self._hash_fn(False)(
             out["onl2"], out["pre2"], out["onlz"], out["prez"]
         )
-        rep_h = np.asarray(rep_h).reshape(N, R, 32)
-        ho2 = np.asarray(ho2).reshape(N, R, 32)
-        hoz = np.asarray(hoz).reshape(N, R, 32)
+        buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
+        rep_h = buf[: RT * 32].reshape(N, R, 32)
+        ho2 = buf[RT * 32 : 2 * RT * 32].reshape(N, R, 32)
+        hoz = buf[2 * RT * 32 : 3 * RT * 32].reshape(N, R, 32)
+        fail = buf[3 * RT * 32 :].reshape(N, R)
+        if fail.any():
+            bad = int(np.nonzero(fail.any(axis=1))[0][0])
+            raise AssertionError(f"witness {bad} is invalid (AssertZero failed)")
 
         comms = [blake3(rep_h[pidx].tobytes()) for pidx in range(N)]
         omits = np.full((N, R), 8, dtype=np.int64)
@@ -698,26 +766,41 @@ class TpuKKW:
         # ---- online re-execution (all 40 opened reps as one batch) --------
         Ro = params.online_reps
         with timer.phase("onl_inject"):
-            inj, omit, omitz = build_online_injection(cc, proof.gf2.online, proof.z64.online)
+            packed, small, omit, omitz = build_online_injection_packed(
+                cc, proof.gf2.online, proof.z64.online
+            )
             player_keys = np.stack(
                 [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.gf2.online]
             )
             player_keysz = np.stack(
                 [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
             )
+            if "onl_unpack" not in self._hash_fns:
+                self._hash_fns["onl_unpack"] = make_online_unpacker(cc)
+            inj = self._hash_fns["onl_unpack"](
+                packed["co2p"], packed["in2p"], packed["re2p"], packed["omit_u8"],
+                packed["rezv_lo"], packed["rezv_hi"], packed["omitz_i32"],
+            )
+            inj.update(small)
         with timer.phase("onl_tape"):
             tape2 = self._gf2_tape(player_keys, omit)
             tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
         with timer.phase("onl_exec"):
-            out = self._executor(VERIFY_ONL, Ro)(inp := dict(
-                tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj))
-            if strict_zero_check and np.any(np.asarray(out["fail"])):
-                return False
+            inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_inputs
+
+                inp = shard_inputs(self.mesh, inp)
+            out = self._executor(VERIFY_ONL, Ro)(inp)
         with timer.phase("onl_hash"):
             rep_h, _, _ = self._hash_fn(False)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"]
             )
-            hashes_online = np.asarray(rep_h)  # (40, 32)
+            # one fused device->host pull for hashes + fail flags
+            buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"]))
+            hashes_online = buf[: Ro * 32].reshape(Ro, 32)  # (40, 32)
+            if strict_zero_check and buf[Ro * 32 :].any():
+                return False
 
         # ---- preprocessing re-execution -----------------------------------
         Rp = params.preprocessing_reps
@@ -740,6 +823,10 @@ class TpuKKW:
             tz_lo, tz_hi = self._z64_tape(pkz, None)
         with timer.phase("pre_exec"):
             inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_inputs
+
+                inp = shard_inputs(self.mesh, inp)
             out = self._executor(VERIFY_PRE, Rp)(inp)
         with timer.phase("pre_hash"):
             rep_h, _, _ = self._hash_fn(True)(

@@ -42,12 +42,13 @@ class ScanExecutor:
     """Jitted scan-mode executor for one compiled circuit in one role."""
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
-                 wave_width: int = 0):
+                 wave_width: int = 0, mesh=None):
         if cc.n_valsz > 1 or cc.mz > 0:
             raise ValueError("scan mode is GF2-only")
         self.cc = cc
         self.mode = mode
         self.R = total_reps
+        self.mesh = mesh
         if wave_width <= 0:
             # adapt the wave width to the mean level occupancy: wide enough to
             # swallow typical levels, narrow enough to avoid NOP-padding waste
@@ -61,11 +62,20 @@ class ScanExecutor:
             while wave_width < min(256, 2 * mean):
                 wave_width *= 2
         self.waves = build_waves(cc, wave_width)
-        self.xs = jax.device_put({
+        xs_host = {
             k: np.asarray(getattr(self.waves, k)) for k in (
                 "op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec", "corr",
                 "onl", "pre", "cbit")
-        })
+        }
+        if mesh is not None:
+            # wave tables replicate across the mesh; the rep axis of the
+            # inputs/carry is sharded (parallel/mesh.py) and propagates
+            # through the scan (all ops are elementwise or axis-0 gathers)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.xs = jax.device_put(xs_host, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self.xs = jax.device_put(xs_host)
         self._run = jax.jit(self._trace)
 
     def __call__(self, inputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -31,9 +31,11 @@ _REP_AXIS_OF = {
     "tape2": 1,
     "tapez_lo": 1,
     "tapez_hi": 1,
-    "wit2": None,
-    "witz_lo": None,
-    "witz_hi": None,
+    # witnesses are laid out (n_wit, R): broadcast columns in single prove,
+    # per-proof-lane columns in prove_batch -- shard the lane axis either way
+    "wit2": 1,
+    "witz_lo": 1,
+    "witz_hi": 1,
     "in2": 1,
     "co2": 1,
     "re2": 1,

@@ -139,3 +139,36 @@ def test_mesh_sharded_prove_matches():
     sharded = sharded_sys.prove(wit2, witz, seeds=s)
     assert sharded.to_bytes() == base.to_bytes()
     assert sharded_sys.verify(sharded)
+
+
+def test_mesh_sharded_scan_prove_matches():
+    """The deep-circuit lax.scan executor composes with mesh sharding: the
+    rep axis of the scan carry is sharded, wave tables replicate."""
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+    from reverie_tpu.parallel import make_mesh
+
+    prog, wit2, witz = wide_and_circuit(700, width=8, seed=11)
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    sharded_sys = TpuKKW(prog, mesh=make_mesh(8))
+    assert isinstance(sharded_sys._executor(0, 256), ScanExecutor)
+    sharded = sharded_sys.prove(wit2, witz, seeds=s)
+    assert sharded.to_bytes() == base.to_bytes()
+    assert sharded_sys.verify(sharded)
+
+
+def test_mesh_sharded_prove_batch_matches():
+    """prove_batch shards the proof-lane axis (N*256) over the mesh and
+    stays byte-identical to unsharded batch proving."""
+    from reverie_tpu.parallel import make_mesh
+
+    prog, wit2, witz = mul_bench_circuit(8)
+    rng = np.random.RandomState(13)
+    seeds = rng.randint(0, 256, size=(2, 256, 16), dtype=np.uint8)
+    wits = [(wit2, witz)] * 2
+    base = TpuKKW(prog).prove_batch(wits, seeds=seeds)
+    sharded_sys = TpuKKW(prog, mesh=make_mesh(8))
+    sharded = sharded_sys.prove_batch(wits, seeds=seeds)
+    for b, sh in zip(base, sharded):
+        assert sh.to_bytes() == b.to_bytes()
+        assert sharded_sys.verify(sh)
