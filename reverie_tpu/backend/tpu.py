@@ -113,15 +113,26 @@ class Executor:
     """
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
-                 mesh=None):
+                 mesh=None, carry_in: int = 0, carry_out_vals=None):
+        """carry_in/carry_out_vals: streaming-segment wire carry (see
+        backend/streaming.py) -- carry_in GF2 arena rows 1..k are initialized
+        from inputs carry_mask2/carry_corr2; outputs gain carry_mask2/
+        carry_corr2 rows gathered at carry_out_vals."""
         self.cc = cc
         self.mode = mode
         self.R = total_reps
         self.mesh = mesh
+        self.carry_in = carry_in
+        self.carry_out_vals = (
+            None if carry_out_vals is None or len(carry_out_vals) == 0
+            else np.asarray(carry_out_vals, dtype=np.int32)
+        )
         self.tables: Dict[str, np.ndarray] = {}
         self.meta: Dict[str, tuple] = {}
         self._np_cols: Dict[str, np.ndarray] = {}
         self._prep_tables()
+        if self.carry_out_vals is not None:
+            self.tables["carry_out_vals"] = self.carry_out_vals
         # commit tables to device once (re-transferring megabytes of index
         # arrays per prove call would dominate small-circuit latency); under a
         # mesh the tables replicate across devices
@@ -198,9 +209,18 @@ class Executor:
     # ------------------------------------------------------------------
     def _trace(self, inp, tables):
         cc, R = self.cc, self.R
+        if self.carry_in:
+            k = self.carry_in
+            z1 = jnp.zeros((1, R), dtype=U8)
+            zrest = jnp.zeros((cc.n_vals2 - 1 - k, R), dtype=U8)
+            mask2_init = jnp.concatenate([z1, inp["carry_mask2"], zrest], axis=0)
+            corr2_init = jnp.concatenate([z1, inp["carry_corr2"], zrest], axis=0)
+        else:
+            mask2_init = jnp.zeros((cc.n_vals2, R), dtype=U8)
+            corr2_init = jnp.zeros((cc.n_vals2, R), dtype=U8)
         st = dict(
-            mask2=jnp.zeros((cc.n_vals2, R), dtype=U8),
-            corr2=jnp.zeros((cc.n_vals2, R), dtype=U8),
+            mask2=mask2_init,
+            corr2=corr2_init,
             mzlo=jnp.zeros((cc.n_valsz, R, 8), dtype=U32),
             mzhi=jnp.zeros((cc.n_valsz, R, 8), dtype=U32),
             czlo=jnp.zeros((cc.n_valsz, R), dtype=U32),
@@ -219,13 +239,18 @@ class Executor:
                     self._gf2_kind(st, inp, kind, acc)
                 else:
                     self._z64_kind(st, inp, kind, acc)
-        return {
+        out = {
             "onl2": st["onl2"],
             "pre2": st["pre2"],
             "onlz": st["onlz"],
             "prez": st["prez"],
             "fail": st["fail"],
         }
+        if self.carry_out_vals is not None:
+            vals = tables["carry_out_vals"]
+            out["carry_mask2"] = jnp.take(st["mask2"], vals, axis=0)
+            out["carry_corr2"] = jnp.take(st["corr2"], vals, axis=0)
+        return out
 
     # ------------------------------------------------------------------
     def _gf2_kind(self, st, inp, kind, A):

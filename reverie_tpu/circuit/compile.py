@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .ir import CombineOp, Gate, Kind, Op
+from .ir import ONE_SRC_OPS, TWO_SRC_OPS, CombineOp, Gate, Kind, Op
 
 # Compiled gate kinds (per domain).
 G_INPUT = 0
@@ -135,9 +135,18 @@ class _Builder:
         self.max_level = max(self.max_level, level)
 
 
-def compile_program(program: Sequence[CombineOp]) -> CompiledCircuit:
+def compile_program(program: Sequence[CombineOp],
+                    carry_in: Optional[Sequence[int]] = None,
+                    out_val_map: Optional[Dict[int, int]] = None) -> CompiledCircuit:
+    """carry_in: GF2 wire ids whose values enter this (sub)program from a
+    previous segment; they are pre-assigned value slots 1..len(carry_in) in
+    order.  out_val_map (if given) is filled with the final GF2 wire->value
+    slot map (streaming segmentation, see backend/streaming.py)."""
     d2 = _DomState()
     dz = _DomState()
+    if carry_in:
+        for w in carry_in:
+            d2.write(w, 0)
     b = _Builder()
     in_slots2: List[int] = []
     co_slots2: List[int] = []
@@ -282,6 +291,9 @@ def compile_program(program: Sequence[CombineOp]) -> CompiledCircuit:
             emit_b2a(cop.a, cop.b)
         # SizeHint: no-op for SSA compilation
 
+    if out_val_map is not None:
+        out_val_map.update(d2.wire_to_val)
+
     # materialize levels into numpy column arrays
     levels: List[Dict[int, Dict[str, np.ndarray]]] = []
     for lvl in range(b.max_level + 1):
@@ -328,8 +340,101 @@ def compile_program(program: Sequence[CombineOp]) -> CompiledCircuit:
 
 
 # ---------------------------------------------------------------------------
-# Wave tables for the scan-mode executor (deep circuits)
+# Program segmentation for streaming execution (beyond-HBM circuits)
 # ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Segment:
+    """One compiled streaming segment (GF2-only).
+
+    Streams/tape/witness offsets inside `cc` are LOCAL (start at 0); the
+    global bases below place them in the whole-circuit streams so transcript
+    bytes and challenge derivation are byte-identical to unsegmented proving
+    (SURVEY hard-part 5: segment the op list, carry hash states + tape
+    counters + live wires)."""
+
+    cc: CompiledCircuit
+    carry_in: List[int]  # GF2 wire ids entering (arena slots 1..k, in order)
+    carry_out: List[int]  # GF2 wire ids leaving (read by later segments)
+    carry_out_vals: np.ndarray  # their value slots in this segment's arena
+    # for each carry_in wire (in order): (source segment, row in its
+    # carry_out arrays) -- the last segment that wrote the wire before this one
+    carry_src: List[tuple]
+    tape0: int  # global tape-word base
+    wit0: int  # global witness base
+    onl0: int  # global online-stream byte base
+    pre0: int
+    rec0: int  # global record-count bases
+    cor0: int
+    inp0: int
+
+
+def _gf2_reads(g: Gate) -> List[int]:
+    if g.op in TWO_SRC_OPS:
+        return [g.src1, g.src2]
+    if g.op in ONE_SRC_OPS or g.op == Op.ASSERT_ZERO:
+        return [g.src1]
+    return []
+
+
+def compile_segments(program: Sequence[CombineOp], seg_ops: int) -> List[Segment]:
+    """Split a GF2-only program into segments of <= seg_ops ops each and
+    compile each with carry-in/out wire lists (cross-segment live wires)."""
+    ops = list(program)
+    n = len(ops)
+    bounds = [(i, min(i + seg_ops, n)) for i in range(0, n, seg_ops)]
+    n_seg = len(bounds)
+
+    # one forward scan: current writer segment per wire; collect crossings
+    writer: Dict[int, int] = {}
+    carry_in_sets: List[Dict[int, int]] = [dict() for _ in range(n_seg)]  # wire -> src seg
+    carry_out_sets: List[Dict[int, None]] = [dict() for _ in range(n_seg)]
+    for s, (lo, hi) in enumerate(bounds):
+        for cop in ops[lo:hi]:
+            if cop.kind == Kind.SIZE_HINT:
+                continue
+            if cop.kind != Kind.GF2:
+                raise ValueError("streaming segmentation supports GF2-only programs")
+            g = cop.gate
+            for w in _gf2_reads(g):
+                src = writer.get(w)
+                if src is not None and src != s:
+                    carry_in_sets[s].setdefault(w, src)
+                    carry_out_sets[src].setdefault(w)
+            d = g.dst_wire()
+            if d is not None:
+                writer[d] = s
+
+    carry_outs = [sorted(carry_out_sets[s]) for s in range(n_seg)]
+    out_row = [{w: i for i, w in enumerate(co)} for co in carry_outs]
+
+    segments: List[Segment] = []
+    tape0 = wit0 = onl0 = pre0 = rec0 = cor0 = inp0 = 0
+    for s, (lo, hi) in enumerate(bounds):
+        carry_in = sorted(carry_in_sets[s])
+        carry_out = carry_outs[s]
+        final_val: Dict[int, int] = {}
+        cc = compile_program(ops[lo:hi], carry_in=carry_in, out_val_map=final_val)
+        segments.append(Segment(
+            cc=cc, carry_in=carry_in, carry_out=carry_out,
+            carry_out_vals=np.asarray([final_val[w] for w in carry_out],
+                                      dtype=np.int32),
+            carry_src=[
+                (carry_in_sets[s][w], out_row[carry_in_sets[s][w]][w])
+                for w in carry_in
+            ],
+            tape0=tape0, wit0=wit0, onl0=onl0, pre0=pre0,
+            rec0=rec0, cor0=cor0, inp0=inp0,
+        ))
+        tape0 += cc.m2
+        wit0 += cc.n_wit2
+        onl0 += cc.onl2
+        pre0 += cc.pre2
+        rec0 += cc.n_recons2
+        cor0 += cc.n_corrs2
+        inp0 += cc.n_inputs2
+    return segments
 
 
 @dataclasses.dataclass

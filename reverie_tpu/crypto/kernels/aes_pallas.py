@@ -217,9 +217,18 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, tile_b: int = 32,
     stay within VMEM."""
     Kw = rkp.shape[-1]
     B = n_blocks
+    # lane-axis tile: Pallas requires the minor block dim to be 128-divisible
+    # or equal to the full axis; batch lanes are Kw = N*64
+    if Kw % 128 == 0:
+        kwt = min(((tile_kw + 127) // 128) * 128, Kw)
+        if Kw % kwt:
+            kwt = 128
+    else:
+        kwt = Kw  # Kw=64 (single proof) or odd-N batches: whole axis
+    # keep the block working set (~128 planes in + 128 out, u32) within VMEM
+    while tile_b > 8 and 2 * 128 * tile_b * kwt * 4 > 8 * 1024 * 1024:
+        tile_b //= 2
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
-    kwt = min(tile_kw, Kw)
-    assert Kw % kwt == 0
     grid = (Bp // tile_b, Kw // kwt)
     words = pl.pallas_call(
         functools.partial(_aes_tape_kernel, tile_b),

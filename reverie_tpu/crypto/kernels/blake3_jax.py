@@ -219,6 +219,121 @@ def _rows_to_bytes(r0, r1):
     return jnp.stack(cols, axis=-1)  # (R, 32)
 
 
+# ---------------------------------------------------------------------------
+# Incremental column hashing (streaming segmented prove, backend/streaming.py)
+#
+# The transcript streams of a beyond-HBM circuit are produced segment by
+# segment; each segment absorbs its (L, R) byte block into per-rep BLAKE3
+# chunk CVs on device (reference hashes the same streams sequentially on the
+# host, crypto/hash.rs:28-104).  State per stream: cvs0/cvs1 = (4, cap, R)
+# chunk CVs (cap = n_chunks_total - 1; the final chunk is always held back in
+# `rem` so CHUNK_END/ROOT flags land correctly), rem = (1024, R) partial-chunk
+# bytes, plus host-tracked static rem_len/chunk counters.
+# ---------------------------------------------------------------------------
+
+
+def absorb_columns(cvs0, cvs1, rem, chunk_base, new, rem_len: int,
+                   n_absorb: int):
+    """Absorb an (L, R) byte block.  rem_len and n_absorb are static (chosen
+    by the host so absorbed chunks never include the stream's final chunk);
+    chunk_base is a traced i32 scalar (uniform segments share one compile).
+    Returns updated (cvs0, cvs1, rem)."""
+    L, R = new.shape
+    buf = jnp.concatenate([rem[:rem_len], new], axis=0) if rem_len else new
+    consumed = n_absorb * 1024
+    if n_absorb:
+        words = _bytes_to_words(buf[:consumed]).reshape(n_absorb, 16, 16, R)
+        ctr = chunk_base.astype(U32) + jnp.arange(n_absorb, dtype=U32)
+        c0, c1 = _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr)
+        cvs0 = jax.lax.dynamic_update_slice(cvs0, c0, (0, chunk_base, 0))
+        cvs1 = jax.lax.dynamic_update_slice(cvs1, c1, (0, chunk_base, 0))
+    tail = buf[consumed:]
+    new_rem_len = rem_len + L - consumed
+    rem = jnp.zeros((1024, R), jnp.uint8).at[:new_rem_len].set(tail)
+    return cvs0, cvs1, rem
+
+
+def finalize_columns(cvs0, cvs1, rem, total_len: int):
+    """cvs0/cvs1: (4, n_chunks-1, R) chunk CVs 0..n_chunks-2; rem holds the
+    final chunk's bytes (zero-padded).  Returns (R, 32) per-column hashes.
+    total_len > 0 (the caller special-cases the empty stream)."""
+    n_chunks = (total_len + 1023) // 1024
+    tail_len = total_len - (n_chunks - 1) * 1024
+    nb_tail = max(1, (tail_len + 63) // 64)
+    tail_lens = np.full(nb_tail, 64, np.uint32)
+    tail_lens[nb_tail - 1] = tail_len - (nb_tail - 1) * 64
+    R = rem.shape[1]
+    words = _bytes_to_words(rem).reshape(1, 16, 16, R)[:, :nb_tail]
+    if n_chunks == 1:
+        r0, r1 = _chunk_cvs(words, nb_tail, tail_lens, np.array([0]),
+                            last_flags_extra=ROOT)
+        return _rows_to_bytes(r0[:, 0], r1[:, 0])
+    t0, t1 = _chunk_cvs(words, nb_tail, tail_lens, np.array([n_chunks - 1]))
+    r0 = jnp.concatenate([cvs0, t0], axis=1)
+    r1 = jnp.concatenate([cvs1, t1], axis=1)
+    out = _tree_reduce(r0, r1, True)
+    return _rows_to_bytes(out[0], out[1])
+
+
+_absorb_jit = None
+_finalize_jit = None
+
+
+def _jits():
+    global _absorb_jit, _finalize_jit
+    if _absorb_jit is None:
+        _absorb_jit = jax.jit(absorb_columns, static_argnums=(5, 6))
+        _finalize_jit = jax.jit(finalize_columns, static_argnums=(3,))
+    return _absorb_jit, _finalize_jit
+
+
+class ColumnHasher:
+    """Host-side driver for one stream's incremental device hash state.
+
+    The stream's total length is known up front (compile-time segment bases,
+    circuit/compile.py:compile_segments), so CV buffers are preallocated and
+    every absorb has static shapes.  Usage:
+
+        h = ColumnHasher(total_len, R)
+        for seg_bytes in segments: h.absorb(seg_bytes)   # (L, R) device u8
+        hashes = h.finalize()                            # (R, 32)
+    """
+
+    def __init__(self, total_len: int, R: int):
+        self.total_len = total_len
+        self.R = R
+        self.n_chunks = max(1, (total_len + 1023) // 1024)
+        cap = self.n_chunks - 1
+        self.cvs0 = jnp.zeros((4, max(cap, 1), R), U32)[:, :cap]
+        self.cvs1 = self.cvs0
+        self.rem = jnp.zeros((1024, R), jnp.uint8)
+        self.rem_len = 0
+        self.chunk_base = 0
+        self._absorb, self._finalize = _jits()
+
+    def absorb(self, new) -> None:
+        L = new.shape[0]
+        if L == 0:
+            return
+        avail = self.rem_len + L
+        n_absorb = min(avail // 1024, (self.n_chunks - 1) - self.chunk_base)
+        self.cvs0, self.cvs1, self.rem = self._absorb(
+            self.cvs0, self.cvs1, self.rem,
+            jnp.int32(self.chunk_base), new, self.rem_len, n_absorb,
+        )
+        self.chunk_base += n_absorb
+        self.rem_len = avail - n_absorb * 1024
+
+    def finalize(self):
+        if self.total_len == 0:
+            from ..blake3_py import blake3_py
+
+            h = np.frombuffer(blake3_py(b""), dtype=np.uint8)
+            return jnp.broadcast_to(jnp.asarray(h)[None, :], (self.R, 32))
+        assert self.rem_len + self.chunk_base * 1024 == self.total_len
+        return self._finalize(self.cvs0, self.cvs1, self.rem, self.total_len)
+
+
 def hash_pair_columns(a, b):
     """a, b: (R, 32) uint8 -> (R, 32) blake3(a || b) per row (single block)."""
     buf = jnp.concatenate([a, b], axis=1)  # (R, 64)
