@@ -227,6 +227,56 @@ def make_gf2_extractor(cc: CompiledCircuit):
     return jax.jit(fn)
 
 
+def make_z64_extractor(cc: CompiledCircuit):
+    """Jitted device fn: (onlz, prez, omit(K,) i32, cols(K,) i32) -> flat u8
+    [recons (K, n_rec*8) | corrs (K, n_cor*8) | inputs (K, n_inp*8)].
+
+    The z64 share events are 64 bytes/rep on the wire (8 players x 8 bytes,
+    z64/share.rs); the proof opens only the omitted player's 8 bytes.
+    Selecting on device shrinks the host pull 8x (the tunnel, not the chip,
+    bounds extraction)."""
+    import jax
+    import jax.numpy as jnp
+
+    nr, nc, ni = len(cc.recon_slotsz), len(cc.corr_slotsz), len(cc.input_slotsz)
+    jrec = jnp.asarray(
+        (cc.recon_slotsz[:, None] + np.arange(64)[None, :]).reshape(-1).astype(np.int32)
+    ) if nr else None
+    jcor = jnp.asarray(
+        (cc.corr_slotsz[:, None] + np.arange(8)[None, :]).reshape(-1).astype(np.int32)
+    ) if nc else None
+    jinp = jnp.asarray(
+        (cc.input_slotsz[:, None] + np.arange(8)[None, :]).reshape(-1).astype(np.int32)
+    ) if ni else None
+
+    def fn(onlz, prez, omit_i32, cols):
+        K = cols.shape[0]
+        parts = []
+        if nr:
+            a = jnp.take(onlz, jrec, axis=0).reshape(nr, 8, 8, onlz.shape[1])
+            a = jnp.take(a, cols, axis=3)  # (nr, player, byte, K)
+            idx = jnp.broadcast_to(omit_i32[None, None, None, :], (nr, 1, 8, K))
+            sel = jnp.take_along_axis(a, idx, axis=1)[:, 0]  # (nr, 8, K)
+            parts.append(jnp.transpose(sel, (2, 0, 1)).reshape(-1))
+        if nc:
+            b_ = jnp.take(
+                jnp.take(prez, jcor, axis=0).reshape(nc, 8, prez.shape[1]),
+                cols, axis=2,
+            )
+            parts.append(jnp.transpose(b_, (2, 0, 1)).reshape(-1))
+        if ni:
+            c_ = jnp.take(
+                jnp.take(onlz, jinp, axis=0).reshape(ni, 8, onlz.shape[1]),
+                cols, axis=2,
+            )
+            parts.append(jnp.transpose(c_, (2, 0, 1)).reshape(-1))
+        if not parts:
+            return jnp.zeros((0,), jnp.uint8)
+        return jnp.concatenate(parts)
+
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # Stream injection (verifier) -- proof streams to TPU-layout arrays
 # ---------------------------------------------------------------------------
@@ -383,12 +433,14 @@ class TpuKKW:
         use_pallas = (
             jax.default_backend() == "tpu"
             and not _os.environ.get("REVERIE_NO_PALLAS")
-            # hardware-validated range; larger tapes diverge on the axon
-            # backend (fusion miscompile under investigation) -> XLA kernel
-            and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 4096))
-            # lane count: the kernel holds (tile_b, R*8/32) planes in VMEM;
-            # batch proving (R = N*256) exceeds it -> XLA kernel
-            and R <= 256
+            # hardware-validated: byte-exact vs the XLA kernel at B=15626
+            # (1M-gate tape) and at batch lane counts (R=2048, kwt=128 grid);
+            # the round-1 fusion miscompile was in the *XLA post-processing*,
+            # now fused in-kernel (tools/r2_tune.py parts B/C/E)
+            and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
+            # lane counts validated at multiples of 256 reps (Kw % 64 == 0);
+            # verifier rep counts (40/216) keep the XLA kernel
+            and R % 256 == 0
         )
         # cache key includes the kernel choice: prove() (R=256) and
         # prove_batch() (R=N*256) may pick different kernels with different
@@ -432,7 +484,7 @@ class TpuKKW:
         from ..crypto.kernels import aes_jax as aj
 
         if "aesz" not in self._hash_fns:
-            self._hash_fns["aesz"] = jax.jit(aj.aes_ctr_tape_z64)
+            self._hash_fns["aesz"] = jax.jit(aj.aes_ctr_tape_z64_chunked)
         nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
         B = nbytes // 16
         rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
@@ -577,17 +629,7 @@ class TpuKKW:
             cols = np.nonzero(omit < 8)[0]
             omit_sel = omit[cols]
             open2 = self._extract_gf2_device(out, cols, omit_sel)
-            if cc.onlz > 1 or cc.prez > 1:
-                jcols = jnp.asarray(cols)
-                onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
-                prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
-            else:
-                K = len(cols)
-                onlz_sel = np.zeros((out["onlz"].shape[0], K), np.uint8)
-                prez_sel = np.zeros((out["prez"].shape[0], K), np.uint8)
-
-        with timer.phase("extract_pack"):
-            openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
+            openz = self._extract_z64_device(out, cols, omit_sel)
 
         p2 = ProofSingle([], [])
         pz = ProofSingle([], [])
@@ -640,6 +682,33 @@ class TpuKKW:
         rec = buf[: K * nb_r].reshape(K, nb_r)
         cor = buf[K * nb_r : K * (nb_r + nb_c)].reshape(K, nb_c)
         inp = buf[K * (nb_r + nb_c) :].reshape(K, nb_i)
+        return [
+            (rec[j].tobytes(), cor[j].tobytes(), inp[j].tobytes())
+            for j in range(K)
+        ]
+
+    def _extract_z64_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
+        """Device extraction of the z64 opened streams (omitted-player bytes
+        selected before the pull); returns (recons, corrs, inputs) bytes per
+        opened rep."""
+        import jax.numpy as jnp
+
+        cc = self.cc
+        K = len(cols)
+        nr, nc, ni = len(cc.recon_slotsz), len(cc.corr_slotsz), len(cc.input_slotsz)
+        if nr == 0 and nc == 0 and ni == 0:
+            return [(b"", b"", b"")] * K
+        if "extractz" not in self._hash_fns:
+            self._hash_fns["extractz"] = make_z64_extractor(cc)
+        buf = np.asarray(self._hash_fns["extractz"](
+            out["onlz"], out["prez"],
+            jnp.asarray(omit_sel.astype(np.int32)),
+            jnp.asarray(cols.astype(np.int32)),
+        ))
+        o1, o2 = K * nr * 8, K * (nr + nc) * 8
+        rec = buf[:o1].reshape(K, nr * 8)
+        cor = buf[o1:o2].reshape(K, nc * 8)
+        inp = buf[o2:].reshape(K, ni * 8)
         return [
             (rec[j].tobytes(), cor[j].tobytes(), inp[j].tobytes())
             for j in range(K)
@@ -715,14 +784,7 @@ class TpuKKW:
         cols = np.nonzero(flat_omit < 8)[0]
         omit_sel = flat_omit[cols]
         open2 = self._extract_gf2_device(out, cols, omit_sel)
-        if cc.onlz > 1 or cc.prez > 1:
-            jcols = jnp.asarray(cols)
-            onlz_sel = np.asarray(jnp.take(out["onlz"], jcols, axis=1))
-            prez_sel = np.asarray(jnp.take(out["prez"], jcols, axis=1))
-        else:
-            onlz_sel = np.zeros((out["onlz"].shape[0], len(cols)), np.uint8)
-            prez_sel = np.zeros((out["prez"].shape[0], len(cols)), np.uint8)
-        openz = extract_z64_openings(cc, onlz_sel, prez_sel, omit_sel)
+        openz = self._extract_z64_device(out, cols, omit_sel)
 
         proofs = []
         j = 0

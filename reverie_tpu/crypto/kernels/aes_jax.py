@@ -231,6 +231,36 @@ def aes_ctr_tape_z64(rkp, ctrp, lane_mask):
     return lo.reshape(B * 2, R, 8), hi.reshape(B * 2, R, 8)
 
 
+def aes_ctr_tape_z64_chunked(rkp, ctrp, lane_mask, chunk_b: int = 2048):
+    """aes_ctr_tape_z64 with a lax.scan over block chunks.
+
+    The unchunked kernel materializes (16, B, Kw, 32) byte-expansion
+    intermediates -- at large mz this OOMs the remote compile helper and
+    explodes HBM (round-1: compile crash at mz=40k).  Scanning fixed-size
+    chunks keeps the working set and the compiled HLO O(chunk)."""
+    Kw = rkp.shape[-1]
+    B = ctrp.shape[-1]
+    R = Kw * 32 // 8
+    if B <= chunk_b:
+        return aes_ctr_tape_z64(rkp, ctrp, lane_mask)
+    n = (B + chunk_b - 1) // chunk_b
+    Bp = n * chunk_b
+    if Bp != B:
+        ctrp = jnp.concatenate(
+            [ctrp, jnp.zeros((16, 8, Bp - B), ctrp.dtype)], axis=-1
+        )
+    chunks = jnp.moveaxis(ctrp.reshape(16, 8, n, chunk_b), 2, 0)  # (n,16,8,c)
+
+    def body(_, ct):
+        lo, hi = aes_ctr_tape_z64(rkp, ct, lane_mask)
+        return None, (lo, hi)
+
+    _, (lo, hi) = jax.lax.scan(body, None, chunks)
+    lo = lo.reshape(Bp * 2, R, 8)[: B * 2]
+    hi = hi.reshape(Bp * 2, R, 8)[: B * 2]
+    return lo, hi
+
+
 def lane_mask_raw(omit: np.ndarray, R: int) -> np.ndarray:
     """(R,) omit -> (R*8//32,) u32 mask in raw key order (for the z64 tape)."""
     mask = np.full(R * 8, 1, dtype=np.uint8)

@@ -70,3 +70,26 @@ def test_pallas_planes_match_xla_kernel_tape():
     words = ((words & m4) << np.uint32(4)) | ((words >> np.uint32(4)) & m4)
     got = np.ascontiguousarray(words).view(np.uint8).reshape(B * 128, -1)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_z64_chunked_tape_matches_unchunked():
+    """aes_ctr_tape_z64_chunked (lax.scan over block chunks, used for large
+    mz where the monolithic kernel breaks the compile) must be bit-identical
+    to the unchunked kernel and the host golden."""
+    import jax.numpy as jnp
+
+    R = 32
+    pk = _keys(R)
+    rkp = jnp.asarray(aj.round_key_planes(pk.reshape(-1, 16)))
+    mask = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
+    mz = 600  # -> B = 320 blocks; chunk_b=64 exercises padding + multi-chunk
+    nbytes = ((mz + 127) // 128) * 1024
+    B = nbytes // 16
+    ctrp = jnp.asarray(aj.counter_planes(B))
+    lo_u, hi_u = aj.aes_ctr_tape_z64(rkp, ctrp, mask)
+    lo_c, hi_c = aj.aes_ctr_tape_z64_chunked(rkp, ctrp, mask, chunk_b=64)
+    np.testing.assert_array_equal(np.asarray(lo_c), np.asarray(lo_u))
+    np.testing.assert_array_equal(np.asarray(hi_c), np.asarray(hi_u))
+    _, glo, ghi = build_tapes(pk, None, 0, mz)
+    np.testing.assert_array_equal(np.asarray(lo_c)[:mz], glo)
+    np.testing.assert_array_equal(np.asarray(hi_c)[:mz], ghi)
