@@ -118,11 +118,15 @@ class StreamingKKW:
         return rows[off : off + m2s]
 
     def _bit_extractor(self, s: int):
-        """Jitted fn: (onl2, pre2, shifts(R,), cols(K,)) -> flat u8 of
-        [recon bits (n_rec, K) | corr bits | input bits]."""
+        """Jitted fn: (onl2, pre2, shifts(R,), cols(K,)) -> flat u8 of the
+        *packed* opened bit rows [recons | corrs | inputs], 8 bits/byte
+        MSB-first per stream (host unpacks and re-aligns across segments;
+        packing before the pull keeps the tunnel transfer at proof size)."""
         if ("bx", s) not in self._bitx:
             import jax
             import jax.numpy as jnp
+
+            from .tpu_host import _pack_rows_device
 
             cc = self.segments[s].cc
             rec = jnp.asarray(cc.recon_slots2.astype(np.int32))
@@ -134,7 +138,10 @@ class StreamingKKW:
                 cb = jnp.take(pre2, cor, axis=0) & jnp.uint8(1)
                 ib = jnp.take(onl2, inp, axis=0) & jnp.uint8(1)
                 return jnp.concatenate(
-                    [jnp.take(b, cols, axis=1).reshape(-1) for b in (rb, cb, ib)]
+                    [
+                        _pack_rows_device(jnp.take(b, cols, axis=1)).reshape(-1)
+                        for b in (rb, cb, ib)
+                    ]
                 )
 
             self._bitx[("bx", s)] = jax.jit(fn)
@@ -284,9 +291,16 @@ class StreamingKKW:
                 self._bit_extractor(s)(out["onl2"], out["pre2"], jshifts, jcols)
             )
             nr, nc, ni = cc.n_recons2, cc.n_corrs2, cc.n_inputs2
-            rec_bits[seg.rec0 : seg.rec0 + nr] = buf[: nr * K].reshape(nr, K)
-            cor_bits[seg.cor0 : seg.cor0 + nc] = buf[nr * K : (nr + nc) * K].reshape(nc, K)
-            inp_bits[seg.inp0 : seg.inp0 + ni] = buf[(nr + nc) * K :].reshape(ni, K)
+            o = 0
+            for n, dest, base in (
+                (nr, rec_bits, seg.rec0),
+                (nc, cor_bits, seg.cor0),
+                (ni, inp_bits, seg.inp0),
+            ):
+                nb = n // 8 + 1
+                packed = buf[o : o + nb * K].reshape(nb, K)
+                o += nb * K
+                dest[base : base + n] = np.unpackbits(packed, axis=0)[:n]
 
         with timer.phase("pass2"):
             self._run_segments(player_keys, wit2, rkp, mask, extract)
