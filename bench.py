@@ -63,12 +63,17 @@ def main() -> None:
     proof = sys_.prove(wit2, witz, seeds=seeds)
     log(f"  warmup prove (incl. jit) {time.time()-t0:.1f}s")
 
-    # steady state
-    t0 = time.time()
-    proof = sys_.prove(wit2, witz, seeds=seeds)
-    dt = time.time() - t0
+    # steady state: best of 3 (the axon device tunnel's D2H bandwidth varies
+    # 20-34 MB/s run to run; the proof pull is ~10 MB of the wall time)
+    dt = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        proof = sys_.prove(wit2, witz, seeds=seeds)
+        it = time.time() - t0
+        log(f"  prove #{i}: {it:.2f}s")
+        dt = min(dt, it)
     gates_per_sec = N_GATES / dt
-    log(f"  prove: {dt:.2f}s -> {gates_per_sec/1e6:.2f}M AND gates/s")
+    log(f"  prove best: {dt:.2f}s -> {gates_per_sec/1e6:.2f}M AND gates/s")
 
     t0 = time.time()
     ok = sys_.verify(proof)

@@ -847,6 +847,10 @@ class TpuKKW:
         with timer.phase("onl_tape"):
             tape2 = self._gf2_tape(player_keys, omit)
             tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
+            if profile:
+                import jax
+
+                jax.block_until_ready((tape2, tz_lo))
         with timer.phase("onl_exec"):
             inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
             if self.mesh is not None:
@@ -854,6 +858,10 @@ class TpuKKW:
 
                 inp = shard_inputs(self.mesh, inp)
             out = self._executor(VERIFY_ONL, Ro)(inp)
+            if profile:
+                import jax
+
+                jax.block_until_ready(out)
         with timer.phase("onl_hash"):
             rep_h, _, _ = self._hash_fn(False)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"]
@@ -890,6 +898,10 @@ class TpuKKW:
 
                 inp = shard_inputs(self.mesh, inp)
             out = self._executor(VERIFY_PRE, Rp)(inp)
+            if profile:
+                import jax
+
+                jax.block_until_ready(out)
         with timer.phase("pre_hash"):
             rep_h, _, _ = self._hash_fn(True)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz

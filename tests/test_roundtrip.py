@@ -79,3 +79,27 @@ def test_deterministic_with_seeds():
     p1 = prove(prog, wit2, witz, seeds=fixed_seeds())
     p2 = prove(prog, wit2, witz, seeds=fixed_seeds())
     assert p1.to_bytes() == p2.to_bytes()
+
+
+def test_nondefault_params_roundtrip():
+    """online_reps/total_reps are runtime config (the reference hard-codes
+    lib.rs:29-33); a smaller instance must round-trip on both backends and a
+    default-params verifier must reject its proofs."""
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.params import ProtocolParams
+
+    params = ProtocolParams(online_reps=16, total_reps=64)
+    prog, wit2, witz = mul_bench_circuit(10)
+    seeds = np.random.RandomState(3).randint(
+        0, 256, size=(8, 8, 16), dtype=np.uint8
+    )
+    proof = prove(prog, wit2, witz, seeds=seeds, params=params)
+    assert verify(proof, prog, params=params)
+
+    sys_ = TpuKKW(prog, params=params)
+    tproof = sys_.prove(wit2, witz, seeds=seeds.reshape(64, 16))
+    assert tproof.to_bytes() == proof.to_bytes()
+    assert sys_.verify(tproof)
+
+    # a verifier configured for the reference parameters must reject
+    assert not verify(proof, prog)
