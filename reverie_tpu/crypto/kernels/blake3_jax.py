@@ -143,6 +143,26 @@ def _chunk_cvs(words, nblocks: int, block_lens: np.ndarray, counters: np.ndarray
     return r0, r1
 
 
+def _bulk_cvs(words, chunk_base):
+    """CVs of full (16x64 B) chunks: words (n, 16, 16, R) u32, chunk_base the
+    global counter of chunk 0 (int or traced scalar).  Uses the Pallas kernel
+    on TPU at vector-friendly lane counts; XLA row-tensor path otherwise."""
+    import os
+
+    n, R = words.shape[0], words.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("REVERIE_NO_PALLAS")
+        and R % 128 == 0
+        and n >= 16
+    ):
+        from .blake3_pallas import chunk_cvs_pallas
+
+        return chunk_cvs_pallas(words, chunk_base)
+    ctr = jnp.asarray(chunk_base, U32) + jnp.arange(n, dtype=U32)
+    return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr)
+
+
 def _tree_reduce(r0, r1, is_root: bool):
     """r0, r1: (4, n, R) chunk CVs -> (4, R) root output rows.
 
@@ -197,8 +217,7 @@ def hash_columns(buf, T: int):
                             last_flags_extra=ROOT)
         out = (r0[:, 0], r1[:, 0])
     else:
-        f0, f1 = _chunk_cvs(words[:-1], 16, np.full(16, 64, np.uint32),
-                            np.arange(n_chunks - 1))
+        f0, f1 = _bulk_cvs(words[:-1], 0)
         t0, t1 = _chunk_cvs(words[-1:, :nb_tail], nb_tail, tail_lens,
                             np.array([n_chunks - 1]))
         r0 = jnp.concatenate([f0, t0], axis=1)
@@ -243,8 +262,7 @@ def absorb_columns(cvs0, cvs1, rem, chunk_base, new, rem_len: int,
     consumed = n_absorb * 1024
     if n_absorb:
         words = _bytes_to_words(buf[:consumed]).reshape(n_absorb, 16, 16, R)
-        ctr = chunk_base.astype(U32) + jnp.arange(n_absorb, dtype=U32)
-        c0, c1 = _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr)
+        c0, c1 = _bulk_cvs(words, chunk_base)
         cvs0 = jax.lax.dynamic_update_slice(cvs0, c0, (0, chunk_base, 0))
         cvs1 = jax.lax.dynamic_update_slice(cvs1, c1, (0, chunk_base, 0))
     tail = buf[consumed:]

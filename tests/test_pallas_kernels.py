@@ -93,3 +93,25 @@ def test_z64_chunked_tape_matches_unchunked():
     _, glo, ghi = build_tapes(pk, None, 0, mz)
     np.testing.assert_array_equal(np.asarray(lo_c)[:mz], glo)
     np.testing.assert_array_equal(np.asarray(hi_c)[:mz], ghi)
+
+
+def test_pallas_blake3_chunk_cvs_match_xla():
+    """chunk_cvs_pallas (register-resident compress, interpret mode) must
+    match the XLA row-tensor chunk CVs for bulk full chunks, including a
+    nonzero global counter base (streaming absorb)."""
+    import jax.numpy as jnp
+
+    from reverie_tpu.crypto.kernels import blake3_jax as bj
+    from reverie_tpu.crypto.kernels.blake3_pallas import chunk_cvs_pallas
+
+    rng = np.random.RandomState(3)
+    for n, base in [(1, 0), (5, 0), (13, 7), (16, 123456)]:
+        words = jnp.asarray(
+            rng.randint(0, 1 << 32, size=(n, 16, 16, 8), dtype=np.uint64
+                        ).astype(np.uint32)
+        )
+        ctr = np.arange(base, base + n, dtype=np.uint32)
+        x0, x1 = bj._chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr)
+        p0, p1 = chunk_cvs_pallas(words, base, tile_c=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(x0))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(x1))
