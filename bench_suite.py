@@ -137,8 +137,24 @@ def bench_verify():
                       "unit": "gates/s"}))
 
 
+def bench_streaming():
+    """Segmented streaming prove (backend/streaming.py) at 4M gates."""
+    from reverie_tpu.backend.streaming import StreamingKKW
+    from reverie_tpu.circuit.builders import mul_bench_circuit
+
+    n = int(os.environ.get("BENCH_STREAM_GATES", 4_000_000))
+    prog, wit2, witz = mul_bench_circuit(n)
+    sk = StreamingKKW(prog, 1 << 20)
+    seeds = np.random.RandomState(5).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    _, dt, warm = _time2(lambda: sk.prove(wit2, witz, seeds=seeds))
+    log(f"streaming: {n} gates / {len(sk.segments)} segments prove {dt:.2f}s "
+        f"(warm {warm:.1f}s)")
+    print(json.dumps({"metric": "and_gates_per_sec_streamed", "value": round(n / dt),
+                      "unit": "gates/s", "segments": len(sk.segments)}))
+
+
 ALL = {"and1m": bench_and1m, "sha256": bench_sha256, "z64": bench_z64,
-       "batch": bench_batch, "verify": bench_verify}
+       "batch": bench_batch, "verify": bench_verify, "streaming": bench_streaming}
 
 
 if __name__ == "__main__":
