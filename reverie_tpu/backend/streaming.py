@@ -39,8 +39,8 @@ from ..crypto import blake3, expand_seeds, keystream_batch
 from ..params import DEFAULT_PARAMS, KEY_SIZE, ProtocolParams
 from ..proof.challenge import challenge_to_opening
 from ..proof.container import OpenOnline, OpenPreprocessing, Proof, ProofSingle
-from .tpu import PROVER, Executor
-from .tpu_host import BATCH, GF2_BATCH_BYTES, _pack_bits_stream
+from .tpu import PROVER, VERIFY_ONL, VERIFY_PRE, Executor
+from .tpu_host import BATCH, GF2_BATCH_BYTES, _pack_bits_stream, _stack_streams
 
 U64 = np.uint64
 
@@ -82,28 +82,34 @@ class StreamingKKW:
         self._use_device_tape = None
 
     # ------------------------------------------------------------------
-    def _executor(self, s: int, R: int) -> Executor:
-        if s not in self._executors:
+    def _executor(self, s: int, mode: int, R: int) -> Executor:
+        key = (s, mode, R)
+        if key not in self._executors:
             seg = self.segments[s]
-            self._executors[s] = Executor(
-                seg.cc, PROVER, total_reps=R,
+            self._executors[key] = Executor(
+                seg.cc, mode, total_reps=R,
                 carry_in=len(seg.carry_in), carry_out_vals=seg.carry_out_vals,
             )
-        return self._executors[s]
+        return self._executors[key]
 
-    def _tape2_window(self, s: int, rkp, mask, player_keys) -> "object":
-        """Device (m2s, R) tape rows for segment s."""
+    def _tape2_window(self, s: int, rkp, mask, player_keys,
+                      omit: Optional[np.ndarray] = None) -> "object":
+        """Device (m2s, R) tape rows for segment s.  `omit` (verification):
+        zero the omitted player's bit per rep column -- the device path
+        encodes it in the lane `mask`, the host path applies a byte mask."""
         import jax
 
         seg = self.segments[s]
         m2s = seg.cc.m2
         R = player_keys.shape[0]
         if self._use_device_tape is None:
-            self._use_device_tape = (
-                jax.default_backend() == "tpu" and (R * 8) % 32 == 0
-            )
-        if not self._use_device_tape or m2s < 4096:
-            return _tape2_window_host(player_keys, seg.tape0, m2s)
+            self._use_device_tape = jax.default_backend() == "tpu"
+        if rkp is None or not self._use_device_tape or m2s < 4096:
+            rows = _tape2_window_host(player_keys, seg.tape0, m2s)
+            if omit is not None:
+                keep = (0xFF ^ (1 << (7 - omit))).astype(np.uint8)
+                rows = rows & keep[None, :]
+            return rows
         import jax.numpy as jnp
 
         from ..crypto.kernels import aes_jax as aj
@@ -147,10 +153,42 @@ class StreamingKKW:
             self._bitx[("bx", s)] = jax.jit(fn)
         return self._bitx[("bx", s)]
 
+    def _onl_injector(self, nr: int, nc: int, ni: int):
+        """Jitted fn: device-resident *packed* proof streams + static
+        per-segment record counts + traced global bases -> the segment's
+        VERIFY_ONL injection arrays (co2, in2, re2).  Uniform segments share
+        one compile (bases are traced scalars)."""
+        key = ("vinj", nr, nc, ni)
+        if key not in self._bitx:
+            import jax
+            import jax.numpy as jnp
+
+            def unpack(packed, base, n):
+                R = packed.shape[1]
+                if n == 0:
+                    return jnp.zeros((0, R), jnp.uint8)
+                p = base + jnp.arange(n, dtype=jnp.int32)
+                by = jnp.take(packed, p >> 3, axis=0)
+                sh = (jnp.uint8(7) - (p & 7).astype(jnp.uint8))[:, None]
+                return (by >> sh) & jnp.uint8(1)
+
+            def fn(co2p, in2p, re2p, shifts, cor0, inp0, rec0):
+                return dict(
+                    co2=unpack(co2p, cor0, nc),
+                    in2=unpack(in2p, inp0, ni),
+                    re2=unpack(re2p, rec0, nr) << shifts[None, :],
+                )
+
+            self._bitx[key] = jax.jit(fn)
+        return self._bitx[key]
+
     # ------------------------------------------------------------------
-    def _run_segments(self, player_keys, wit2, rkp, mask, on_out):
+    def _run_segments(self, player_keys, wit2, rkp, mask, on_out,
+                      mode: int = PROVER, seg_inputs=None,
+                      omit: Optional[np.ndarray] = None):
         """Execute all segments in order, calling on_out(s, out) per segment.
-        Returns the final fail flags (R,) as a device array."""
+        Returns the final fail flags (R,) as a device array.  `seg_inputs`
+        (verification): callable s -> dict of per-segment injection arrays."""
         import jax.numpy as jnp
 
         R = player_keys.shape[0]
@@ -159,18 +197,21 @@ class StreamingKKW:
         for s, seg in enumerate(self.segments):
             cc = seg.cc
             inp = dict(
-                tape2=self._tape2_window(s, rkp, mask, player_keys),
+                tape2=self._tape2_window(s, rkp, mask, player_keys, omit=omit),
                 tapez_lo=np.zeros((0, R, 8), np.uint32),
                 tapez_hi=np.zeros((0, R, 8), np.uint32),
-                wit2=np.ascontiguousarray(
+                witz_lo=np.zeros((0, R), np.uint32),
+                witz_hi=np.zeros((0, R), np.uint32),
+            )
+            if mode == PROVER:
+                inp["wit2"] = np.ascontiguousarray(
                     np.broadcast_to(
                         wit2[seg.wit0 : seg.wit0 + cc.n_wit2, None],
                         (cc.n_wit2, R),
                     )
-                ),
-                witz_lo=np.zeros((0, R), np.uint32),
-                witz_hi=np.zeros((0, R), np.uint32),
-            )
+                )
+            if seg_inputs is not None:
+                inp.update(seg_inputs(s))
             if seg.carry_in:
                 # one gather per source segment, then one inverse-perm take
                 by_src: Dict[int, List[int]] = {}
@@ -203,7 +244,7 @@ class StreamingKKW:
                 inp["carry_corr2"] = jnp.take(
                     jnp.concatenate(parts_c, axis=0), jinv, axis=0
                 )
-            out = self._executor(s, R)(inp)
+            out = self._executor(s, mode, R)(inp)
             if seg.carry_out:
                 carry_store[s] = (out["carry_mask2"], out["carry_corr2"])
             fail = out["fail"] if fail is None else (fail | out["fail"])
@@ -342,3 +383,139 @@ class StreamingKKW:
             print("streaming prove phase breakdown:\n" + timer.report(),
                   file=_sys.stderr)
         return Proof(comm, p2, pz)
+
+    # ------------------------------------------------------------------
+    def verify(self, proof: Proof, strict_zero_check: bool = True) -> bool:
+        """Segmented verification with O(segment) device memory: the packed
+        proof streams live on device once, each segment unpacks its own
+        injection window; onl/pre transcript streams are absorbed into
+        incremental blake3 states and discarded (same carry machinery as
+        prove).  Accept/reject behavior matches TpuKKW.verify
+        (tests/test_streaming.py)."""
+        import jax.numpy as jnp
+
+        from ..crypto.kernels.blake3_jax import ColumnHasher, hash_pair_columns
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
+        profile = bool(os.environ.get("REVERIE_PROFILE"))
+        params = self.params
+        if not proof.gf2.check_format(params.online_reps, params.preprocessing_reps):
+            return False
+        if not proof.z64.check_format(params.online_reps, params.preprocessing_reps):
+            return False
+
+        # ---- online re-execution (all opened reps as one batch) -----------
+        Ro = params.online_reps
+        with timer.phase("onl_inject"):
+            omit = np.array([o.omit for o in proof.gf2.online], dtype=np.int64)
+            player_keys = np.stack([
+                np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE)
+                for o in proof.gf2.online
+            ])
+            co2p = jnp.asarray(_stack_streams(
+                [o.corrs for o in proof.gf2.online], self.cor_total // 8 + 1))
+            in2p = jnp.asarray(_stack_streams(
+                [o.inputs for o in proof.gf2.online], self.inp_total // 8 + 1))
+            re2p = jnp.asarray(_stack_streams(
+                [o.recons for o in proof.gf2.online], self.rec_total // 8 + 1))
+            jshifts = jnp.asarray((7 - omit).astype(np.uint8))
+
+        rkp = mask = None
+        import jax
+
+        if jax.default_backend() == "tpu" and (Ro * 8) % 32 == 0:
+            from ..crypto.kernels import aes_jax as aj
+
+            rkp = jnp.asarray(aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE)))
+            mask = jnp.asarray(aj.lane_mask_from_omit(omit, Ro))
+
+        onl_h = ColumnHasher(self.onl_total, Ro)
+        pre_h = ColumnHasher(self.pre_total, Ro)
+
+        def inj(s):
+            seg = self.segments[s]
+            cc = seg.cc
+            return self._onl_injector(cc.n_recons2, cc.n_corrs2, cc.n_inputs2)(
+                co2p, in2p, re2p, jshifts,
+                np.int32(seg.cor0), np.int32(seg.inp0), np.int32(seg.rec0),
+            )
+
+        def absorb(s, out):
+            cc = self.segments[s].cc
+            if cc.onl2:
+                onl_h.absorb(out["onl2"][: cc.onl2])
+            if cc.pre2:
+                pre_h.absorb(out["pre2"][: cc.pre2])
+
+        with timer.phase("onl_exec"):
+            fail = self._run_segments(player_keys, None, rkp, mask, absorb,
+                                      mode=VERIFY_ONL, seg_inputs=inj, omit=omit)
+        with timer.phase("onl_hash"):
+            ho2 = onl_h.finalize()
+            hp2 = pre_h.finalize()
+            empty_o = ColumnHasher(0, Ro).finalize()
+            h2 = hash_pair_columns(hp2, ho2)
+            hz = hash_pair_columns(empty_o, empty_o)
+            hashes_online = np.asarray(hash_pair_columns(h2, hz))
+            if strict_zero_check and np.asarray(fail).any():
+                return False
+
+        # ---- preprocessing re-execution ------------------------------------
+        Rp = params.preprocessing_reps
+        with timer.phase("pre_tape"):
+            seeds2 = np.stack([
+                np.frombuffer(p.seed, dtype=np.uint8)
+                for p in proof.gf2.preprocessing
+            ])
+            comm2 = np.stack([
+                np.frombuffer(p.comm_online, dtype=np.uint8)
+                for p in proof.gf2.preprocessing
+            ])
+            commz = np.stack([
+                np.frombuffer(p.comm_online, dtype=np.uint8)
+                for p in proof.z64.preprocessing
+            ])
+            pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
+            rkp_p = mask_p = None
+            if jax.default_backend() == "tpu" and (Rp * 8) % 32 == 0:
+                from ..crypto.kernels import aes_jax as aj
+
+                rkp_p = jnp.asarray(aj.round_key_planes(pk2.reshape(-1, KEY_SIZE)))
+                mask_p = jnp.asarray(np.full(Rp * 8 // 32, 0xFFFFFFFF, np.uint32))
+
+        pre_hp = ColumnHasher(self.pre_total, Rp)
+
+        def absorb_pre(s, out):
+            cc = self.segments[s].cc
+            if cc.pre2:
+                pre_hp.absorb(out["pre2"][: cc.pre2])
+
+        with timer.phase("pre_exec"):
+            self._run_segments(pk2, None, rkp_p, mask_p, absorb_pre,
+                               mode=VERIFY_PRE)
+        with timer.phase("pre_hash"):
+            hp2p = pre_hp.finalize()
+            empty_p = ColumnHasher(0, Rp).finalize()
+            h2 = hash_pair_columns(hp2p, jnp.asarray(comm2))
+            hz = hash_pair_columns(empty_p, jnp.asarray(commz))
+            hashes_pre = np.asarray(hash_pair_columns(h2, hz))
+
+        # ---- reorder + commitment check ------------------------------------
+        open_map = challenge_to_opening(proof.comm, params)
+        ordered = np.zeros((params.total_reps, 32), dtype=np.uint8)
+        io_ = ip = 0
+        for i in range(params.total_reps):
+            if i in open_map:
+                ordered[i] = hashes_online[io_]
+                io_ += 1
+            else:
+                ordered[i] = hashes_pre[ip]
+                ip += 1
+        ok = blake3(ordered.tobytes()) == proof.comm
+        if profile:
+            import sys as _sys
+
+            print("streaming verify phase breakdown:\n" + timer.report(),
+                  file=_sys.stderr)
+        return ok

@@ -145,13 +145,19 @@ def _chunk_cvs(words, nblocks: int, block_lens: np.ndarray, counters: np.ndarray
 
 def _bulk_cvs(words, chunk_base):
     """CVs of full (16x64 B) chunks: words (n, 16, 16, R) u32, chunk_base the
-    global counter of chunk 0 (int or traced scalar).  Uses the Pallas kernel
-    on TPU at vector-friendly lane counts; XLA row-tensor path otherwise."""
+    global counter of chunk 0 (int or traced scalar).
+
+    The Pallas chunk-CV kernel is hardware-validated byte-exact but measured
+    *slower* than the XLA row-tensor path at transcript shapes (12 vs 16 GB/s
+    at n=976, R=256 on v5e -- tools/r2_hw2.py part B: the 16 sequential
+    compress rounds per chunk leave the MXU idle and the XLA fusion already
+    keeps the stream in VMEM), so it is opt-in via REVERIE_PALLAS_BLAKE3=1."""
     import os
 
     n, R = words.shape[0], words.shape[-1]
     if (
         jax.default_backend() == "tpu"
+        and os.environ.get("REVERIE_PALLAS_BLAKE3")
         and not os.environ.get("REVERIE_NO_PALLAS")
         and R % 128 == 0
         and n >= 16

@@ -75,6 +75,50 @@ def test_segment_stream_bases_are_consistent():
     assert (cor == whole.corr_slots2).all()
 
 
+@pytest.mark.parametrize("seg_ops", [9, 10_000])
+def test_streamed_verify_accepts(seg_ops):
+    prog, wit2, witz = CASES["wide_and"]()
+    s = seeds256()
+    sk = StreamingKKW(prog, seg_ops)
+    proof = sk.prove(wit2, witz, seeds=s)
+    assert sk.verify(proof)
+    # the streamed verifier also accepts unsegmented proofs (same bytes)
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    assert sk.verify(base)
+
+
+def test_streamed_verify_rejects_tampered():
+    prog, wit2, witz = CASES["mul60"]()
+    s = seeds256()
+    sk = StreamingKKW(prog, 13)
+    proof = sk.prove(wit2, witz, seeds=s)
+    from reverie_tpu.proof.container import Proof
+
+    raw = bytearray(proof.to_bytes())
+    raw[len(raw) // 2] ^= 0x40
+    assert not sk.verify(Proof.from_bytes(bytes(raw)))
+    # flipped commitment byte
+    raw2 = bytearray(proof.to_bytes())
+    raw2[10] ^= 1
+    assert not sk.verify(Proof.from_bytes(bytes(raw2)))
+
+
+def test_streamed_verify_matches_unsegmented_verifier():
+    """Accept/reject decisions agree with TpuKKW.verify case by case."""
+    prog, wit2, witz = CASES["deep_chain"]()
+    s = seeds256()
+    sk = StreamingKKW(prog, 11)
+    base = TpuKKW(prog)
+    proof = sk.prove(wit2, witz, seeds=s)
+    assert base.verify(proof) and sk.verify(proof)
+    from reverie_tpu.proof.container import Proof
+
+    raw = bytearray(proof.to_bytes())
+    raw[-3] ^= 0x80
+    bad = Proof.from_bytes(bytes(raw))
+    assert base.verify(bad) == sk.verify(bad) == False  # noqa: E712
+
+
 def test_non_gf2_program_rejected():
     prog = [CombineOp.z64(Gate(Op.INPUT, dst=0))]
     with pytest.raises(ValueError):

@@ -13,6 +13,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("REVERIE_PALLAS_BLAKE3", "1")  # validate the opt-in path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
