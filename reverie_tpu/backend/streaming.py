@@ -33,6 +33,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from ..algebra import u64pair as up
 from ..circuit.compile import Segment, compile_segments
 from ..circuit.ir import CombineOp
 from ..crypto import blake3, expand_seeds, keystream_batch
@@ -40,7 +41,14 @@ from ..params import DEFAULT_PARAMS, KEY_SIZE, ProtocolParams
 from ..proof.challenge import challenge_to_opening
 from ..proof.container import OpenOnline, OpenPreprocessing, Proof, ProofSingle
 from .tpu import PROVER, VERIFY_ONL, VERIFY_PRE, Executor
-from .tpu_host import BATCH, GF2_BATCH_BYTES, _pack_bits_stream, _stack_streams
+from .tpu_host import (
+    BATCH,
+    GF2_BATCH_BYTES,
+    Z64_BATCH_BYTES,
+    _pack_bits_stream,
+    _stack_streams,
+    _u64s_from_stream,
+)
 
 U64 = np.uint64
 
@@ -62,6 +70,29 @@ def _tape2_window_host(player_keys: np.ndarray, tape0: int, m2s: int) -> np.ndar
     return np.packbits(bits.transpose(2, 0, 1), axis=-1)[..., 0]  # (m2s, R)
 
 
+def _tapez_window_host(player_keys: np.ndarray, tapez0: int, mzs: int,
+                       omit: Optional[np.ndarray] = None):
+    """(mzs, R, 8) u32-pair z64 tape rows [tapez0, tapez0+mzs) via host AES.
+    Layout identical to tpu_host.build_tapes (1 KiB per 128-word refill)."""
+    R = player_keys.shape[0]
+    if mzs == 0:
+        z = np.zeros((0, R, 8), np.uint32)
+        return z, z
+    flat = player_keys.reshape(R * 8, KEY_SIZE)
+    b0 = tapez0 // BATCH
+    b1 = (tapez0 + mzs + BATCH - 1) // BATCH
+    ks = keystream_batch(flat, (b1 - b0) * Z64_BATCH_BYTES,
+                         start_block=b0 * (Z64_BATCH_BYTES // 16))
+    ks = ks.reshape(R, 8, -1)
+    if omit is not None:
+        idx = np.nonzero(omit < 8)[0]
+        ks[idx, omit[idx].astype(np.int64)] = 0
+    words = np.ascontiguousarray(ks).view("<u8")  # (R, 8, (b1-b0)*128)
+    off = tapez0 - b0 * BATCH
+    words = np.transpose(words[:, :, off : off + mzs], (2, 0, 1))
+    return up.from_u64(words)
+
+
 class StreamingKKW:
     """Segmented streaming prover.  Proof bytes are identical to
     TpuKKW.prove on the same seeds (tests/test_streaming.py)."""
@@ -77,6 +108,13 @@ class StreamingKKW:
         self.rec_total = sum(s.cc.n_recons2 for s in self.segments)
         self.cor_total = sum(s.cc.n_corrs2 for s in self.segments)
         self.inp_total = sum(s.cc.n_inputs2 for s in self.segments)
+        self.mz = sum(s.cc.mz for s in self.segments)
+        self.n_witz = sum(s.cc.n_witz for s in self.segments)
+        self.onlz_total = sum(s.cc.onlz for s in self.segments)
+        self.prez_total = sum(s.cc.prez for s in self.segments)
+        self.recz_total = sum(s.cc.n_reconsz for s in self.segments)
+        self.corz_total = sum(s.cc.n_corrsz for s in self.segments)
+        self.inpz_total = sum(s.cc.n_inputsz for s in self.segments)
         self._executors: Dict[int, Executor] = {}
         self._bitx: Dict[int, object] = {}
         self._use_device_tape = None
@@ -89,6 +127,8 @@ class StreamingKKW:
             self._executors[key] = Executor(
                 seg.cc, mode, total_reps=R,
                 carry_in=len(seg.carry_in), carry_out_vals=seg.carry_out_vals,
+                carry_inz=len(seg.carry_inz),
+                carry_outz_vals=seg.carry_outz_vals,
             )
         return self._executors[key]
 
@@ -116,10 +156,27 @@ class StreamingKKW:
 
         b0 = seg.tape0 // BATCH
         b1 = (seg.tape0 + m2s + BATCH - 1) // BATCH
-        if "aes" not in self._bitx:
-            self._bitx["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
-        ctrp = aj.counter_planes(b1 - b0, start_block=b0)
-        rows = self._bitx["aes"](rkp, jnp.asarray(ctrp), mask)
+        nblocks = b1 - b0
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("REVERIE_NO_PALLAS")
+            and nblocks <= int(os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
+            and R % 256 == 0  # same lane gate as tpu_host._gf2_tape
+        )
+        if use_pallas:
+            from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
+
+            if "aesp" not in self._bitx:
+                self._bitx["aesp"] = jax.jit(
+                    aes_ctr_tape_gf2_pallas, static_argnums=(1,)
+                )
+            # traced start_block: uniform segments share one compile
+            rows = self._bitx["aesp"](rkp, nblocks, mask, np.int32(b0))
+        else:
+            if "aes" not in self._bitx:
+                self._bitx["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
+            ctrp = aj.counter_planes(nblocks, start_block=b0)
+            rows = self._bitx["aes"](rkp, jnp.asarray(ctrp), mask)
         off = seg.tape0 - b0 * BATCH
         return rows[off : off + m2s]
 
@@ -153,6 +210,17 @@ class StreamingKKW:
             self._bitx[("bx", s)] = jax.jit(fn)
         return self._bitx[("bx", s)]
 
+    def _z64_extractor(self, s: int):
+        """Jitted per-segment z64 opened-stream extractor (the segment-local
+        twin of tpu_host.make_z64_extractor; z64 events are byte-aligned so
+        segment buffers concatenate directly into the global streams)."""
+        key = ("bz", s)
+        if key not in self._bitx:
+            from .tpu_host import make_z64_extractor
+
+            self._bitx[key] = make_z64_extractor(self.segments[s].cc)
+        return self._bitx[key]
+
     def _onl_injector(self, nr: int, nc: int, ni: int):
         """Jitted fn: device-resident *packed* proof streams + static
         per-segment record counts + traced global bases -> the segment's
@@ -182,27 +250,99 @@ class StreamingKKW:
             self._bitx[key] = jax.jit(fn)
         return self._bitx[key]
 
-    # ------------------------------------------------------------------
-    def _run_segments(self, player_keys, wit2, rkp, mask, on_out,
-                      mode: int = PROVER, seg_inputs=None,
+    def _tapez_window(self, s: int, player_keys,
                       omit: Optional[np.ndarray] = None):
-        """Execute all segments in order, calling on_out(s, out) per segment.
-        Returns the final fail flags (R,) as a device array.  `seg_inputs`
-        (verification): callable s -> dict of per-segment injection arrays."""
+        """Device/host (mzs, R, 8) u32-pair z64 tape rows for segment s."""
+        import jax
+
+        seg = self.segments[s]
+        mzs = seg.cc.mz
+        R = player_keys.shape[0]
+        if self._use_device_tape is None:
+            self._use_device_tape = jax.default_backend() == "tpu"
+        if not self._use_device_tape or (R * 8) % 32 != 0 or mzs < 512:
+            return _tapez_window_host(player_keys, seg.tapez0, mzs, omit=omit)
         import jax.numpy as jnp
 
+        from ..crypto.kernels import aes_jax as aj
+
+        b0 = seg.tapez0 // BATCH
+        b1 = (seg.tapez0 + mzs + BATCH - 1) // BATCH
+        B = (b1 - b0) * (Z64_BATCH_BYTES // 16)
+        if "aesz" not in self._bitx:
+            self._bitx["aesz"] = jax.jit(aj.aes_ctr_tape_z64_chunked)
+        rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
+        ctrp = aj.counter_planes(B, start_block=b0 * (Z64_BATCH_BYTES // 16))
+        if omit is None:
+            maskz = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+        else:
+            maskz = aj.lane_mask_raw(omit, R)
+        lo, hi = self._bitx["aesz"](
+            jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(maskz)
+        )
+        off = seg.tapez0 - b0 * BATCH
+        return lo[off : off + mzs], hi[off : off + mzs]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _gather_carry(carry_src: List[tuple], carry_store: List[dict],
+                      names: List[str], inp: dict) -> None:
+        """Collect this segment's carry rows from the producing segments'
+        carry outputs: one gather per source segment per array, then one
+        inverse-perm take (device ops)."""
+        import jax.numpy as jnp
+
+        by_src: Dict[int, List[int]] = {}
+        pos_order: List[int] = []
+        for pos, (src, row) in enumerate(carry_src):
+            by_src.setdefault(src, []).append(row)
+        srcs = sorted(by_src)
+        for src in srcs:
+            pos_order.extend(
+                p for p, (sv, _) in enumerate(carry_src) if sv == src
+            )
+        inv = np.empty(len(pos_order), np.int32)
+        inv[np.asarray(pos_order, np.int32)] = np.arange(
+            len(pos_order), dtype=np.int32
+        )
+        jinv = jnp.asarray(inv)
+        for name in names:
+            parts = [
+                jnp.take(carry_store[src][name],
+                         jnp.asarray(np.asarray(by_src[src], np.int32)), axis=0)
+                for src in srcs
+            ]
+            inp[name] = jnp.take(jnp.concatenate(parts, axis=0), jinv, axis=0)
+
+    _GF2_CARRY = ["carry_mask2", "carry_corr2"]
+    _Z64_CARRY = ["carry_mzlo", "carry_mzhi", "carry_czlo", "carry_czhi"]
+
+    def _run_segments(self, player_keys, wit2, rkp, mask, on_out,
+                      mode: int = PROVER, seg_inputs=None,
+                      omit: Optional[np.ndarray] = None, witz=None,
+                      player_keysz=None, omitz: Optional[np.ndarray] = None):
+        """Execute all segments in order, calling on_out(s, out) per segment.
+        Returns the final fail flags (R,) as a device array.  `seg_inputs`
+        (verification): callable s -> dict of per-segment injection arrays.
+        player_keysz/omitz: z64-domain keys (verification opens the two
+        domains with their own seed lists; proving shares one set)."""
         R = player_keys.shape[0]
-        carry_store: List[tuple] = [None] * len(self.segments)
+        if player_keysz is None:
+            player_keysz, omitz = player_keys, omit
+        carry_store: List[dict] = [None] * len(self.segments)
         fail = None
         for s, seg in enumerate(self.segments):
             cc = seg.cc
             inp = dict(
                 tape2=self._tape2_window(s, rkp, mask, player_keys, omit=omit),
-                tapez_lo=np.zeros((0, R, 8), np.uint32),
-                tapez_hi=np.zeros((0, R, 8), np.uint32),
-                witz_lo=np.zeros((0, R), np.uint32),
-                witz_hi=np.zeros((0, R), np.uint32),
             )
+            if cc.mz:
+                inp["tapez_lo"], inp["tapez_hi"] = self._tapez_window(
+                    s, player_keysz, omit=omitz
+                )
+            else:
+                inp["tapez_lo"] = np.zeros((0, R, 8), np.uint32)
+                inp["tapez_hi"] = np.zeros((0, R, 8), np.uint32)
             if mode == PROVER:
                 inp["wit2"] = np.ascontiguousarray(
                     np.broadcast_to(
@@ -210,43 +350,32 @@ class StreamingKKW:
                         (cc.n_wit2, R),
                     )
                 )
+                wz = witz[seg.witz0 : seg.witz0 + cc.n_witz] if cc.n_witz else \
+                    np.zeros(0, np.uint64)
+                wlo, whi = up.from_u64(
+                    np.ascontiguousarray(
+                        np.broadcast_to(wz[:, None], (cc.n_witz, R))
+                    )
+                )
+                inp["witz_lo"], inp["witz_hi"] = wlo, whi
+            else:
+                inp["witz_lo"] = np.zeros((0, R), np.uint32)
+                inp["witz_hi"] = np.zeros((0, R), np.uint32)
             if seg_inputs is not None:
                 inp.update(seg_inputs(s))
             if seg.carry_in:
-                # one gather per source segment, then one inverse-perm take
-                by_src: Dict[int, List[int]] = {}
-                pos_order: List[int] = []
-                for pos, (src, row) in enumerate(seg.carry_src):
-                    by_src.setdefault(src, []).append(row)
-                srcs = sorted(by_src)
-                for src in srcs:
-                    pos_order.extend(
-                        p for p, (sv, _) in enumerate(seg.carry_src) if sv == src
-                    )
-                inv = np.empty(len(pos_order), np.int32)
-                inv[np.asarray(pos_order, np.int32)] = np.arange(
-                    len(pos_order), dtype=np.int32
-                )
-                parts_m = [
-                    jnp.take(carry_store[src][0],
-                             jnp.asarray(np.asarray(by_src[src], np.int32)), axis=0)
-                    for src in srcs
-                ]
-                parts_c = [
-                    jnp.take(carry_store[src][1],
-                             jnp.asarray(np.asarray(by_src[src], np.int32)), axis=0)
-                    for src in srcs
-                ]
-                jinv = jnp.asarray(inv)
-                inp["carry_mask2"] = jnp.take(
-                    jnp.concatenate(parts_m, axis=0), jinv, axis=0
-                )
-                inp["carry_corr2"] = jnp.take(
-                    jnp.concatenate(parts_c, axis=0), jinv, axis=0
-                )
+                self._gather_carry(seg.carry_src, carry_store,
+                                   self._GF2_CARRY, inp)
+            if seg.carry_inz:
+                self._gather_carry(seg.carry_srcz, carry_store,
+                                   self._Z64_CARRY, inp)
             out = self._executor(s, mode, R)(inp)
-            if seg.carry_out:
-                carry_store[s] = (out["carry_mask2"], out["carry_corr2"])
+            if seg.carry_out or seg.carry_outz:
+                carry_store[s] = {
+                    k: out[k]
+                    for k in self._GF2_CARRY + self._Z64_CARRY
+                    if k in out
+                }
             fail = out["fail"] if fail is None else (fail | out["fail"])
             on_out(s, out)
         return fail
@@ -272,7 +401,9 @@ class StreamingKKW:
         player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
 
         wit2 = np.asarray([1 if b else 0 for b in wit_gf2], dtype=np.uint8)
-        if len(wit2) < self.n_wit2:
+        witz = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wit_z64],
+                          dtype=np.uint64)
+        if len(wit2) < self.n_wit2 or len(witz) < self.n_witz:
             raise AssertionError("witness is too short")
 
         rkp = mask = None
@@ -285,6 +416,8 @@ class StreamingKKW:
         # ---- pass 1: execute + absorb + discard ---------------------------
         onl_h = ColumnHasher(self.onl_total, R)
         pre_h = ColumnHasher(self.pre_total, R)
+        onlz_h = ColumnHasher(self.onlz_total, R)
+        prez_h = ColumnHasher(self.prez_total, R)
 
         def absorb(s, out):
             cc = self.segments[s].cc
@@ -292,18 +425,25 @@ class StreamingKKW:
                 onl_h.absorb(out["onl2"][: cc.onl2])
             if cc.pre2:
                 pre_h.absorb(out["pre2"][: cc.pre2])
+            if cc.onlz:
+                onlz_h.absorb(out["onlz"][: cc.onlz])
+            if cc.prez:
+                prez_h.absorb(out["prez"][: cc.prez])
 
         with timer.phase("pass1"):
-            fail = self._run_segments(player_keys, wit2, rkp, mask, absorb)
+            fail = self._run_segments(player_keys, wit2, rkp, mask, absorb,
+                                      witz=witz)
 
         with timer.phase("hash_final"):
             ho2 = onl_h.finalize()
             hp2 = pre_h.finalize()
-            empty = ColumnHasher(0, R).finalize()  # blake3("") rows
+            hoz = onlz_h.finalize()
+            hpz = prez_h.finalize()
             h2 = hash_pair_columns(hp2, ho2)
-            hz = hash_pair_columns(empty, empty)
+            hz = hash_pair_columns(hpz, hoz)
             rep_h = np.asarray(hash_pair_columns(h2, hz))
             ho2_np = np.asarray(ho2)
+            hoz_np = np.asarray(hoz)
             if np.asarray(fail).any():
                 raise AssertionError("witness is invalid (AssertZero failed)")
 
@@ -321,42 +461,75 @@ class StreamingKKW:
         jcols = jnp.asarray(cols.astype(np.int32))
 
         # ---- pass 2: re-execute + pull opened bits ------------------------
-        rec_bits = np.zeros((self.rec_total, K), np.uint8)
-        cor_bits = np.zeros((self.cor_total, K), np.uint8)
-        inp_bits = np.zeros((self.inp_total, K), np.uint8)
+        # Extraction buffers stay on device until all segments are enqueued
+        # (a blocking per-segment pull would idle the chip during each
+        # transfer); one deferred pull per segment then drains the queue.
+        dev_bufs: List[object] = [None] * len(self.segments)
+        dev_bufsz: List[object] = [None] * len(self.segments)
+        jomit = jnp.asarray(omit[cols].astype(np.int32))
 
         def extract(s, out):
-            seg = self.segments[s]
-            cc = seg.cc
-            buf = np.asarray(
-                self._bit_extractor(s)(out["onl2"], out["pre2"], jshifts, jcols)
+            dev_bufs[s] = self._bit_extractor(s)(
+                out["onl2"], out["pre2"], jshifts, jcols
             )
-            nr, nc, ni = cc.n_recons2, cc.n_corrs2, cc.n_inputs2
-            o = 0
-            for n, dest, base in (
-                (nr, rec_bits, seg.rec0),
-                (nc, cor_bits, seg.cor0),
-                (ni, inp_bits, seg.inp0),
-            ):
-                nb = n // 8 + 1
-                packed = buf[o : o + nb * K].reshape(nb, K)
-                o += nb * K
-                dest[base : base + n] = np.unpackbits(packed, axis=0)[:n]
+            cc = self.segments[s].cc
+            if cc.n_reconsz or cc.n_corrsz or cc.n_inputsz:
+                dev_bufsz[s] = self._z64_extractor(s)(
+                    out["onlz"], out["prez"], jomit, jcols
+                )
+
+        rec_bits = np.zeros((K, self.rec_total), np.uint8)
+        cor_bits = np.zeros((K, self.cor_total), np.uint8)
+        inp_bits = np.zeros((K, self.inp_total), np.uint8)
+        recz_b = np.zeros((K, self.recz_total * 8), np.uint8)
+        corz_b = np.zeros((K, self.corz_total * 8), np.uint8)
+        inpz_b = np.zeros((K, self.inpz_total * 8), np.uint8)
 
         with timer.phase("pass2"):
-            self._run_segments(player_keys, wit2, rkp, mask, extract)
+            self._run_segments(player_keys, wit2, rkp, mask, extract,
+                               witz=witz)
+            for s, seg in enumerate(self.segments):
+                cc = seg.cc
+                buf = np.asarray(dev_bufs[s])
+                dev_bufs[s] = None
+                o = 0
+                for n, dest, base in (
+                    (cc.n_recons2, rec_bits, seg.rec0),
+                    (cc.n_corrs2, cor_bits, seg.cor0),
+                    (cc.n_inputs2, inp_bits, seg.inp0),
+                ):
+                    nb = n // 8 + 1
+                    packed = buf[o : o + nb * K].reshape(nb, K)
+                    o += nb * K
+                    # (K, n) destination rows are contiguous per rep column
+                    dest[:, base : base + n] = np.unpackbits(
+                        packed, axis=0, count=n
+                    ).T
+                if dev_bufsz[s] is not None:
+                    bufz = np.asarray(dev_bufsz[s])
+                    dev_bufsz[s] = None
+                    o = 0
+                    for n, dest, base in (
+                        (cc.n_reconsz, recz_b, seg.recz0),
+                        (cc.n_corrsz, corz_b, seg.corz0),
+                        (cc.n_inputsz, inpz_b, seg.inpz0),
+                    ):
+                        nb = n * 8
+                        dest[:, base * 8 : base * 8 + nb] = (
+                            bufz[o : o + K * nb].reshape(K, nb)
+                        )
+                        o += K * nb
 
         # ---- assemble the proof (byte-identical to TpuKKW.prove) ----------
         with timer.phase("pack"):
             open2 = [
                 (
-                    _pack_bits_stream(rec_bits[:, j]),
-                    _pack_bits_stream(cor_bits[:, j]),
-                    _pack_bits_stream(inp_bits[:, j]),
+                    _pack_bits_stream(rec_bits[j]),
+                    _pack_bits_stream(cor_bits[j]),
+                    _pack_bits_stream(inp_bits[j]),
                 )
                 for j in range(K)
             ]
-        empty_np = np.asarray(empty)
         p2 = ProofSingle([], [])
         pz = ProofSingle([], [])
         j = 0
@@ -366,16 +539,17 @@ class StreamingKKW:
                 ks[omit[r]] = 0
                 rec, cor, inpt = open2[j]
                 p2.online.append(OpenOnline(int(omit[r]), ks.tobytes(), rec, cor, inpt))
-                pz.online.append(
-                    OpenOnline(int(omit[r]), ks.tobytes(), b"", b"", b"")
-                )
+                pz.online.append(OpenOnline(
+                    int(omit[r]), ks.tobytes(),
+                    recz_b[j].tobytes(), corz_b[j].tobytes(), inpz_b[j].tobytes(),
+                ))
                 j += 1
             else:
                 p2.preprocessing.append(
                     OpenPreprocessing(seeds[r].tobytes(), ho2_np[r].tobytes())
                 )
                 pz.preprocessing.append(
-                    OpenPreprocessing(seeds[r].tobytes(), empty_np[r].tobytes())
+                    OpenPreprocessing(seeds[r].tobytes(), hoz_np[r].tobytes())
                 )
         if profile:
             import sys as _sys
@@ -409,9 +583,14 @@ class StreamingKKW:
         Ro = params.online_reps
         with timer.phase("onl_inject"):
             omit = np.array([o.omit for o in proof.gf2.online], dtype=np.int64)
+            omitz = np.array([o.omit for o in proof.z64.online], dtype=np.int64)
             player_keys = np.stack([
                 np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE)
                 for o in proof.gf2.online
+            ])
+            player_keysz = np.stack([
+                np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE)
+                for o in proof.z64.online
             ])
             co2p = jnp.asarray(_stack_streams(
                 [o.corrs for o in proof.gf2.online], self.cor_total // 8 + 1))
@@ -420,6 +599,21 @@ class StreamingKKW:
             re2p = jnp.asarray(_stack_streams(
                 [o.recons for o in proof.gf2.online], self.rec_total // 8 + 1))
             jshifts = jnp.asarray((7 - omit).astype(np.uint8))
+            # z64 streams: u64 values on host (byte-aligned records; the z64
+            # part of a proof is small next to the gf2 bit streams)
+            coz = np.zeros((self.corz_total, Ro), dtype=np.uint64)
+            inz = np.zeros((self.inpz_total, Ro), dtype=np.uint64)
+            rezv = np.zeros((self.recz_total, Ro), dtype=np.uint64)
+            for r, o in enumerate(proof.z64.online):
+                coz[:, r] = _u64s_from_stream(o.corrs, self.corz_total)
+                inz[:, r] = _u64s_from_stream(o.inputs, self.inpz_total)
+                rezv[:, r] = _u64s_from_stream(o.recons, self.recz_total)
+            coz_lo, coz_hi = up.from_u64(coz)
+            inz_lo, inz_hi = up.from_u64(inz)
+            rezv_lo, rezv_hi = up.from_u64(rezv)
+            onehot = (np.arange(8)[None, :] == omitz[:, None]).astype(np.uint32)
+            rez_lo = rezv_lo[:, :, None] * onehot[None, :, :]
+            rez_hi = rezv_hi[:, :, None] * onehot[None, :, :]
 
         rkp = mask = None
         import jax
@@ -432,14 +626,24 @@ class StreamingKKW:
 
         onl_h = ColumnHasher(self.onl_total, Ro)
         pre_h = ColumnHasher(self.pre_total, Ro)
+        onlz_h = ColumnHasher(self.onlz_total, Ro)
+        prez_h = ColumnHasher(self.prez_total, Ro)
 
         def inj(s):
             seg = self.segments[s]
             cc = seg.cc
-            return self._onl_injector(cc.n_recons2, cc.n_corrs2, cc.n_inputs2)(
+            out = self._onl_injector(cc.n_recons2, cc.n_corrs2, cc.n_inputs2)(
                 co2p, in2p, re2p, jshifts,
                 np.int32(seg.cor0), np.int32(seg.inp0), np.int32(seg.rec0),
             )
+            out = dict(out)
+            out["coz_lo"] = coz_lo[seg.corz0 : seg.corz0 + cc.n_corrsz]
+            out["coz_hi"] = coz_hi[seg.corz0 : seg.corz0 + cc.n_corrsz]
+            out["inz_lo"] = inz_lo[seg.inpz0 : seg.inpz0 + cc.n_inputsz]
+            out["inz_hi"] = inz_hi[seg.inpz0 : seg.inpz0 + cc.n_inputsz]
+            out["rez_lo"] = rez_lo[seg.recz0 : seg.recz0 + cc.n_reconsz]
+            out["rez_hi"] = rez_hi[seg.recz0 : seg.recz0 + cc.n_reconsz]
+            return out
 
         def absorb(s, out):
             cc = self.segments[s].cc
@@ -447,16 +651,21 @@ class StreamingKKW:
                 onl_h.absorb(out["onl2"][: cc.onl2])
             if cc.pre2:
                 pre_h.absorb(out["pre2"][: cc.pre2])
+            if cc.onlz:
+                onlz_h.absorb(out["onlz"][: cc.onlz])
+            if cc.prez:
+                prez_h.absorb(out["prez"][: cc.prez])
 
         with timer.phase("onl_exec"):
             fail = self._run_segments(player_keys, None, rkp, mask, absorb,
-                                      mode=VERIFY_ONL, seg_inputs=inj, omit=omit)
+                                      mode=VERIFY_ONL, seg_inputs=inj,
+                                      omit=omit, player_keysz=player_keysz,
+                                      omitz=omitz)
         with timer.phase("onl_hash"):
             ho2 = onl_h.finalize()
             hp2 = pre_h.finalize()
-            empty_o = ColumnHasher(0, Ro).finalize()
             h2 = hash_pair_columns(hp2, ho2)
-            hz = hash_pair_columns(empty_o, empty_o)
+            hz = hash_pair_columns(prez_h.finalize(), onlz_h.finalize())
             hashes_online = np.asarray(hash_pair_columns(h2, hz))
             if strict_zero_check and np.asarray(fail).any():
                 return False
@@ -468,6 +677,10 @@ class StreamingKKW:
                 np.frombuffer(p.seed, dtype=np.uint8)
                 for p in proof.gf2.preprocessing
             ])
+            seedsz = np.stack([
+                np.frombuffer(p.seed, dtype=np.uint8)
+                for p in proof.z64.preprocessing
+            ])
             comm2 = np.stack([
                 np.frombuffer(p.comm_online, dtype=np.uint8)
                 for p in proof.gf2.preprocessing
@@ -477,6 +690,7 @@ class StreamingKKW:
                 for p in proof.z64.preprocessing
             ])
             pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
+            pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
             rkp_p = mask_p = None
             if jax.default_backend() == "tpu" and (Rp * 8) % 32 == 0:
                 from ..crypto.kernels import aes_jax as aj
@@ -485,20 +699,22 @@ class StreamingKKW:
                 mask_p = jnp.asarray(np.full(Rp * 8 // 32, 0xFFFFFFFF, np.uint32))
 
         pre_hp = ColumnHasher(self.pre_total, Rp)
+        prez_hp = ColumnHasher(self.prez_total, Rp)
 
         def absorb_pre(s, out):
             cc = self.segments[s].cc
             if cc.pre2:
                 pre_hp.absorb(out["pre2"][: cc.pre2])
+            if cc.prez:
+                prez_hp.absorb(out["prez"][: cc.prez])
 
         with timer.phase("pre_exec"):
             self._run_segments(pk2, None, rkp_p, mask_p, absorb_pre,
-                               mode=VERIFY_PRE)
+                               mode=VERIFY_PRE, player_keysz=pkz, omitz=None)
         with timer.phase("pre_hash"):
             hp2p = pre_hp.finalize()
-            empty_p = ColumnHasher(0, Rp).finalize()
             h2 = hash_pair_columns(hp2p, jnp.asarray(comm2))
-            hz = hash_pair_columns(empty_p, jnp.asarray(commz))
+            hz = hash_pair_columns(prez_hp.finalize(), jnp.asarray(commz))
             hashes_pre = np.asarray(hash_pair_columns(h2, hz))
 
         # ---- reorder + commitment check ------------------------------------

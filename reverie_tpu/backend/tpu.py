@@ -113,11 +113,13 @@ class Executor:
     """
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
-                 mesh=None, carry_in: int = 0, carry_out_vals=None):
+                 mesh=None, carry_in: int = 0, carry_out_vals=None,
+                 carry_inz: int = 0, carry_outz_vals=None):
         """carry_in/carry_out_vals: streaming-segment wire carry (see
         backend/streaming.py) -- carry_in GF2 arena rows 1..k are initialized
         from inputs carry_mask2/carry_corr2; outputs gain carry_mask2/
-        carry_corr2 rows gathered at carry_out_vals."""
+        carry_corr2 rows gathered at carry_out_vals.  carry_inz/
+        carry_outz_vals: same for the z64 arena (carry_mzlo/mzhi/czlo/czhi)."""
         self.cc = cc
         self.mode = mode
         self.R = total_reps
@@ -127,12 +129,19 @@ class Executor:
             None if carry_out_vals is None or len(carry_out_vals) == 0
             else np.asarray(carry_out_vals, dtype=np.int32)
         )
+        self.carry_inz = carry_inz
+        self.carry_outz_vals = (
+            None if carry_outz_vals is None or len(carry_outz_vals) == 0
+            else np.asarray(carry_outz_vals, dtype=np.int32)
+        )
         self.tables: Dict[str, np.ndarray] = {}
         self.meta: Dict[str, tuple] = {}
         self._np_cols: Dict[str, np.ndarray] = {}
         self._prep_tables()
         if self.carry_out_vals is not None:
             self.tables["carry_out_vals"] = self.carry_out_vals
+        if self.carry_outz_vals is not None:
+            self.tables["carry_outz_vals"] = self.carry_outz_vals
         # commit tables to device once (re-transferring megabytes of index
         # arrays per prove call would dominate small-circuit latency); under a
         # mesh the tables replicate across devices
@@ -218,13 +227,28 @@ class Executor:
         else:
             mask2_init = jnp.zeros((cc.n_vals2, R), dtype=U8)
             corr2_init = jnp.zeros((cc.n_vals2, R), dtype=U8)
+        if self.carry_inz:
+            kz = self.carry_inz
+            zm1 = jnp.zeros((1, R, 8), dtype=U32)
+            zmr = jnp.zeros((cc.n_valsz - 1 - kz, R, 8), dtype=U32)
+            zc1 = jnp.zeros((1, R), dtype=U32)
+            zcr = jnp.zeros((cc.n_valsz - 1 - kz, R), dtype=U32)
+            mzlo_init = jnp.concatenate([zm1, inp["carry_mzlo"], zmr], axis=0)
+            mzhi_init = jnp.concatenate([zm1, inp["carry_mzhi"], zmr], axis=0)
+            czlo_init = jnp.concatenate([zc1, inp["carry_czlo"], zcr], axis=0)
+            czhi_init = jnp.concatenate([zc1, inp["carry_czhi"], zcr], axis=0)
+        else:
+            mzlo_init = jnp.zeros((cc.n_valsz, R, 8), dtype=U32)
+            mzhi_init = jnp.zeros((cc.n_valsz, R, 8), dtype=U32)
+            czlo_init = jnp.zeros((cc.n_valsz, R), dtype=U32)
+            czhi_init = jnp.zeros((cc.n_valsz, R), dtype=U32)
         st = dict(
             mask2=mask2_init,
             corr2=corr2_init,
-            mzlo=jnp.zeros((cc.n_valsz, R, 8), dtype=U32),
-            mzhi=jnp.zeros((cc.n_valsz, R, 8), dtype=U32),
-            czlo=jnp.zeros((cc.n_valsz, R), dtype=U32),
-            czhi=jnp.zeros((cc.n_valsz, R), dtype=U32),
+            mzlo=mzlo_init,
+            mzhi=mzhi_init,
+            czlo=czlo_init,
+            czhi=czhi_init,
             onl2=jnp.zeros((max(cc.onl2, 1), R), dtype=U8),
             pre2=jnp.zeros((max(cc.pre2, 1), R), dtype=U8),
             onlz=jnp.zeros((max(cc.onlz, 1), R), dtype=U8),
@@ -250,6 +274,12 @@ class Executor:
             vals = tables["carry_out_vals"]
             out["carry_mask2"] = jnp.take(st["mask2"], vals, axis=0)
             out["carry_corr2"] = jnp.take(st["corr2"], vals, axis=0)
+        if self.carry_outz_vals is not None:
+            valsz = tables["carry_outz_vals"]
+            out["carry_mzlo"] = jnp.take(st["mzlo"], valsz, axis=0)
+            out["carry_mzhi"] = jnp.take(st["mzhi"], valsz, axis=0)
+            out["carry_czlo"] = jnp.take(st["czlo"], valsz, axis=0)
+            out["carry_czhi"] = jnp.take(st["czhi"], valsz, axis=0)
         return out
 
     # ------------------------------------------------------------------

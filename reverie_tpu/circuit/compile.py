@@ -137,16 +137,22 @@ class _Builder:
 
 def compile_program(program: Sequence[CombineOp],
                     carry_in: Optional[Sequence[int]] = None,
-                    out_val_map: Optional[Dict[int, int]] = None) -> CompiledCircuit:
-    """carry_in: GF2 wire ids whose values enter this (sub)program from a
-    previous segment; they are pre-assigned value slots 1..len(carry_in) in
-    order.  out_val_map (if given) is filled with the final GF2 wire->value
-    slot map (streaming segmentation, see backend/streaming.py)."""
+                    out_val_map: Optional[Dict[int, int]] = None,
+                    carry_inz: Optional[Sequence[int]] = None,
+                    out_val_mapz: Optional[Dict[int, int]] = None) -> CompiledCircuit:
+    """carry_in / carry_inz: GF2 / Z64 wire ids whose values enter this
+    (sub)program from a previous segment; they are pre-assigned value slots
+    1..len(carry) in order per domain.  out_val_map / out_val_mapz (if given)
+    are filled with the final wire->value slot maps (streaming segmentation,
+    see backend/streaming.py)."""
     d2 = _DomState()
     dz = _DomState()
     if carry_in:
         for w in carry_in:
             d2.write(w, 0)
+    if carry_inz:
+        for w in carry_inz:
+            dz.write(w, 0)
     b = _Builder()
     in_slots2: List[int] = []
     co_slots2: List[int] = []
@@ -293,6 +299,8 @@ def compile_program(program: Sequence[CombineOp],
 
     if out_val_map is not None:
         out_val_map.update(d2.wire_to_val)
+    if out_val_mapz is not None:
+        out_val_mapz.update(dz.wire_to_val)
 
     # materialize levels into numpy column arrays
     levels: List[Dict[int, Dict[str, np.ndarray]]] = []
@@ -346,13 +354,14 @@ def compile_program(program: Sequence[CombineOp],
 
 @dataclasses.dataclass
 class Segment:
-    """One compiled streaming segment (GF2-only).
+    """One compiled streaming segment.
 
     Streams/tape/witness offsets inside `cc` are LOCAL (start at 0); the
     global bases below place them in the whole-circuit streams so transcript
     bytes and challenge derivation are byte-identical to unsegmented proving
     (SURVEY hard-part 5: segment the op list, carry hash states + tape
-    counters + live wires)."""
+    counters + live wires).  Cross-segment live wires are carried per domain
+    (GF2 arena rows; Z64 mask/corr u64-pair rows)."""
 
     cc: CompiledCircuit
     carry_in: List[int]  # GF2 wire ids entering (arena slots 1..k, in order)
@@ -368,9 +377,22 @@ class Segment:
     rec0: int  # global record-count bases
     cor0: int
     inp0: int
+    # -- z64 domain (mirrors the gf2 fields) --------------------------------
+    carry_inz: List[int] = dataclasses.field(default_factory=list)
+    carry_outz: List[int] = dataclasses.field(default_factory=list)
+    carry_outz_vals: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    carry_srcz: List[tuple] = dataclasses.field(default_factory=list)
+    tapez0: int = 0
+    witz0: int = 0
+    onlz0: int = 0
+    prez0: int = 0
+    recz0: int = 0
+    corz0: int = 0
+    inpz0: int = 0
 
 
-def _gf2_reads(g: Gate) -> List[int]:
+def _gate_reads(g: Gate) -> List[int]:
     if g.op in TWO_SRC_OPS:
         return [g.src1, g.src2]
     if g.op in ONE_SRC_OPS or g.op == Op.ASSERT_ZERO:
@@ -379,53 +401,83 @@ def _gf2_reads(g: Gate) -> List[int]:
 
 
 def compile_segments(program: Sequence[CombineOp], seg_ops: int) -> List[Segment]:
-    """Split a GF2-only program into segments of <= seg_ops ops each and
-    compile each with carry-in/out wire lists (cross-segment live wires)."""
+    """Split a composite program into segments of <= seg_ops ops each and
+    compile each with per-domain carry-in/out wire lists (cross-segment live
+    wires).  B2A ops read gf2 wires [src, src+64) and write one z64 wire."""
     ops = list(program)
     n = len(ops)
     bounds = [(i, min(i + seg_ops, n)) for i in range(0, n, seg_ops)]
     n_seg = len(bounds)
 
-    # one forward scan: current writer segment per wire; collect crossings
-    writer: Dict[int, int] = {}
-    carry_in_sets: List[Dict[int, int]] = [dict() for _ in range(n_seg)]  # wire -> src seg
-    carry_out_sets: List[Dict[int, None]] = [dict() for _ in range(n_seg)]
+    # one forward scan per domain: current writer segment per wire
+    class _Cross:
+        def __init__(self):
+            self.writer: Dict[int, int] = {}
+            self.in_sets: List[Dict[int, int]] = [dict() for _ in range(n_seg)]
+            self.out_sets: List[Dict[int, None]] = [dict() for _ in range(n_seg)]
+
+        def read(self, s: int, w: int) -> None:
+            src = self.writer.get(w)
+            if src is not None and src != s:
+                self.in_sets[s].setdefault(w, src)
+                self.out_sets[src].setdefault(w)
+
+        def write(self, s: int, w: Optional[int]) -> None:
+            if w is not None:
+                self.writer[w] = s
+
+    x2, xz = _Cross(), _Cross()
     for s, (lo, hi) in enumerate(bounds):
         for cop in ops[lo:hi]:
             if cop.kind == Kind.SIZE_HINT:
                 continue
-            if cop.kind != Kind.GF2:
-                raise ValueError("streaming segmentation supports GF2-only programs")
+            if cop.kind == Kind.B2A:
+                for i in range(64):
+                    x2.read(s, cop.b + i)
+                xz.write(s, cop.a)
+                continue
+            x = x2 if cop.kind == Kind.GF2 else xz
             g = cop.gate
-            for w in _gf2_reads(g):
-                src = writer.get(w)
-                if src is not None and src != s:
-                    carry_in_sets[s].setdefault(w, src)
-                    carry_out_sets[src].setdefault(w)
-            d = g.dst_wire()
-            if d is not None:
-                writer[d] = s
+            for w in _gate_reads(g):
+                x.read(s, w)
+            x.write(s, g.dst_wire())
 
-    carry_outs = [sorted(carry_out_sets[s]) for s in range(n_seg)]
-    out_row = [{w: i for i, w in enumerate(co)} for co in carry_outs]
+    def rows(x: _Cross):
+        outs = [sorted(x.out_sets[s]) for s in range(n_seg)]
+        return outs, [{w: i for i, w in enumerate(co)} for co in outs]
+
+    carry_outs, out_row = rows(x2)
+    carry_outsz, out_rowz = rows(xz)
 
     segments: List[Segment] = []
     tape0 = wit0 = onl0 = pre0 = rec0 = cor0 = inp0 = 0
+    tapez0 = witz0 = onlz0 = prez0 = recz0 = corz0 = inpz0 = 0
     for s, (lo, hi) in enumerate(bounds):
-        carry_in = sorted(carry_in_sets[s])
-        carry_out = carry_outs[s]
+        carry_in = sorted(x2.in_sets[s])
+        carry_inz = sorted(xz.in_sets[s])
         final_val: Dict[int, int] = {}
-        cc = compile_program(ops[lo:hi], carry_in=carry_in, out_val_map=final_val)
+        final_valz: Dict[int, int] = {}
+        cc = compile_program(ops[lo:hi], carry_in=carry_in, out_val_map=final_val,
+                             carry_inz=carry_inz, out_val_mapz=final_valz)
         segments.append(Segment(
-            cc=cc, carry_in=carry_in, carry_out=carry_out,
-            carry_out_vals=np.asarray([final_val[w] for w in carry_out],
+            cc=cc, carry_in=carry_in, carry_out=carry_outs[s],
+            carry_out_vals=np.asarray([final_val[w] for w in carry_outs[s]],
                                       dtype=np.int32),
             carry_src=[
-                (carry_in_sets[s][w], out_row[carry_in_sets[s][w]][w])
+                (x2.in_sets[s][w], out_row[x2.in_sets[s][w]][w])
                 for w in carry_in
             ],
             tape0=tape0, wit0=wit0, onl0=onl0, pre0=pre0,
             rec0=rec0, cor0=cor0, inp0=inp0,
+            carry_inz=carry_inz, carry_outz=carry_outsz[s],
+            carry_outz_vals=np.asarray([final_valz[w] for w in carry_outsz[s]],
+                                       dtype=np.int32),
+            carry_srcz=[
+                (xz.in_sets[s][w], out_rowz[xz.in_sets[s][w]][w])
+                for w in carry_inz
+            ],
+            tapez0=tapez0, witz0=witz0, onlz0=onlz0, prez0=prez0,
+            recz0=recz0, corz0=corz0, inpz0=inpz0,
         ))
         tape0 += cc.m2
         wit0 += cc.n_wit2
@@ -434,6 +486,13 @@ def compile_segments(program: Sequence[CombineOp], seg_ops: int) -> List[Segment
         rec0 += cc.n_recons2
         cor0 += cc.n_corrs2
         inp0 += cc.n_inputs2
+        tapez0 += cc.mz
+        witz0 += cc.n_witz
+        onlz0 += cc.onlz
+        prez0 += cc.prez
+        recz0 += cc.n_reconsz
+        corz0 += cc.n_corrsz
+        inpz0 += cc.n_inputsz
     return segments
 
 

@@ -38,7 +38,29 @@ def _load_witness(path: str):
     return parse_witness_file(path)
 
 
-def _backend_system(program, backend: str):
+def _enable_jit_cache() -> None:
+    """Persistent XLA compile cache for the jitted backends: repeated CLI
+    invocations on the same circuit shape skip recompilation (main.rs has no
+    analog -- Rust compiles ahead of time; this is the JAX equivalent)."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "REVERIE_JIT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "reverie_tpu", "jax"),
+    )
+    if cache and cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _backend_system(program, backend: str, segment_ops: int = 0):
+    _enable_jit_cache()
+    if segment_ops:
+        from .backend.streaming import StreamingKKW
+
+        return StreamingKKW(program, segment_ops)
     if backend == "tpu":
         from .backend.tpu_host import TpuKKW
 
@@ -54,8 +76,8 @@ def cmd_prove(args) -> int:
     witness = _load_witness(args.witness_path)
     print("Evaluating program in ~zero knowledge~")
     t0 = time.time()
-    if args.backend == "tpu":
-        sys_ = _backend_system(program, "tpu")
+    if args.backend == "tpu" or args.segment_ops:
+        sys_ = _backend_system(program, args.backend, args.segment_ops)
         proof = sys_.prove(witness, [])
     else:
         proof = prove(program, witness, [], largest_wires(program))
@@ -75,8 +97,8 @@ def cmd_verify(args) -> int:
         proof = Proof.from_bytes(f.read())
     print("Verifying Proof")
     t0 = time.time()
-    if args.backend == "tpu":
-        ok = _backend_system(program, "tpu").verify(proof)
+    if args.backend == "tpu" or args.segment_ops:
+        ok = _backend_system(program, args.backend, args.segment_ops).verify(proof)
     else:
         ok = verify(proof, program, largest_wires(program))
     print(f"verified in {time.time() - t0:.2f}s")
@@ -105,8 +127,8 @@ def cmd_oneshot_zk(args) -> int:
     program = _load_program(args.program_path, args.format)
     witness = _load_witness(args.witness_path)
     print("Evaluating program in ~zero knowledge~")
-    if args.backend == "tpu":
-        sys_ = _backend_system(program, "tpu")
+    if args.backend == "tpu" or args.segment_ops:
+        sys_ = _backend_system(program, args.backend, args.segment_ops)
         proof = sys_.prove(witness, [])
         ok = sys_.verify(proof)
     else:
@@ -147,6 +169,12 @@ def app() -> argparse.ArgumentParser:
     p.add_argument("--proof-path")
     p.add_argument("--format", default="bincode", choices=["bincode", "bristol"])
     p.add_argument("--backend", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument(
+        "--segment-ops", type=int, default=0, metavar="N",
+        help="stream the proof in segments of N ops (O(segment) device "
+             "memory for beyond-HBM circuits; GF2-only programs; proof "
+             "bytes identical to unsegmented proving)",
+    )
     return p
 
 

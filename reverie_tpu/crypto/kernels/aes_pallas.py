@@ -122,7 +122,7 @@ def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool 
     )(rkp)
 
 
-def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, out_ref):
+def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, start_ref, out_ref):
     """AES-CTR + tape assembly fused in one kernel.
 
     Extends _aes_kernel by writing the *tape words* directly: output element
@@ -132,12 +132,16 @@ def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, out_ref):
     fusion that the axon backend miscompiles at large B (round-2 triage:
     kernel correct at 15626 blocks, surrounding fusion diverges) and skips a
     full keystream round-trip through HBM.
+
+    start_ref (SMEM scalar): global CTR block of output block 0 -- streaming
+    segments window the tape at arbitrary offsets (backend/streaming.py) and
+    a traced start keeps one compile for all uniform segments.
     """
     Kw = rkp_ref.shape[-1]
     TB = tb
 
     rk0 = rkp_ref[0]  # (16, 8, Kw)
-    base = (pl.program_id(0) * TB).astype(U32)
+    base = start_ref[0].astype(U32) + (pl.program_id(0) * TB).astype(U32)
     idx = base + jax.lax.broadcasted_iota(U32, (TB, Kw), 0)
 
     def init_plane(by, bit):
@@ -209,12 +213,14 @@ def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, out_ref):
             out_ref[:, by, j] = w & mask
 
 
-def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, tile_b: int = 32,
-                            tile_kw: int = 64, interpret: bool = False):
+def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
+                            tile_b: int = 32, tile_kw: int = 64,
+                            interpret: bool = False):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2, fully in-kernel.
     Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple and
     grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
-    stay within VMEM."""
+    stay within VMEM.  start_block (int or traced i32 scalar): CTR base, for
+    streaming-segment tape windows."""
     Kw = rkp.shape[-1]
     B = n_blocks
     # lane-axis tile: Pallas requires the minor block dim to be 128-divisible
@@ -239,11 +245,13 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, tile_b: int = 32,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kwt), lambda i, k: (0, k),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile_b, 16, 8, kwt), lambda i, k: (i, 0, 0, k),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rkp, lane_mask.reshape(1, Kw))
+    )(rkp, lane_mask.reshape(1, Kw),
+      jnp.asarray(start_block, jnp.int32).reshape(1))
     # (Bp,16,8,Kw) u32 -> rows of tape bytes; plain reshape + bitcast only
     by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp,16,8,Kw,4)
     return by.reshape(Bp * 128, Kw * 4)[: B * 128]

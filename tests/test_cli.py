@@ -75,6 +75,36 @@ def test_cli_prove_verify_roundtrip(workdir):
     assert r.returncode != 0
 
 
+def test_cli_streamed_prove_verify(workdir):
+    """--segment-ops N streams the proof; bytes must match the unsegmented
+    prover for fixed default seeds? (seeds are random) -- so round-trip +
+    cross-verify with the unsegmented verifier instead."""
+    r = run_cli(
+        "--operation", "prove",
+        "--program-path", str(workdir / "prog.bin"),
+        "--witness-path", str(workdir / "wit.txt"),
+        "--proof-path", str(workdir / "proof.bin"),
+        "--backend", "cpu", "--segment-ops", "2",
+    )
+    assert r.returncode == 0, r.stderr
+    # streamed verifier accepts
+    r = run_cli(
+        "--operation", "verify",
+        "--program-path", str(workdir / "prog.bin"),
+        "--proof-path", str(workdir / "proof.bin"),
+        "--backend", "cpu", "--segment-ops", "2",
+    )
+    assert r.returncode == 0, r.stderr
+    # the plain (unsegmented) verifier accepts the streamed proof too
+    r = run_cli(
+        "--operation", "verify",
+        "--program-path", str(workdir / "prog.bin"),
+        "--proof-path", str(workdir / "proof.bin"),
+        "--backend", "cpu",
+    )
+    assert r.returncode == 0, r.stderr
+
+
 def test_cli_version():
     r = run_cli("--operation", "version_info")
     assert r.returncode == 0

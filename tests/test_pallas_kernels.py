@@ -38,6 +38,25 @@ def test_pallas_tape_matches_host_golden(n_blocks):
     np.testing.assert_array_equal(tape, golden)
 
 
+def test_pallas_tape_start_block_windows():
+    """start_block windows the CTR: the kernel's rows [0, m2s) at
+    start_block=b0 must equal the whole tape's rows [b0*128, ...)
+    (streaming-segment tape windows, backend/streaming.py)."""
+    R = 32
+    pk = _keys(R)
+    rkp = aj.round_key_planes(pk.reshape(-1, 16))
+    mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+    golden, _, _ = build_tapes(pk, None, 96 * 128, 0)  # (m2, R)
+    for b0, nb in [(32, 32), (48, 48)]:
+        tape = np.asarray(
+            aes_ctr_tape_gf2_pallas(
+                rkp, nb, mask, start_block=np.int32(b0), tile_b=16,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(tape, golden[b0 * 128 : (b0 + nb) * 128])
+
+
 def test_pallas_tape_lane_mask_omits_players():
     R = 32
     pk = _keys(R)

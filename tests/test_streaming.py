@@ -9,7 +9,12 @@ import pytest
 from reverie_tpu.backend.streaming import StreamingKKW
 from reverie_tpu.backend.tpu_host import TpuKKW
 from reverie_tpu.circuit import CombineOp, Gate, Op
-from reverie_tpu.circuit.builders import mul_bench_circuit, wide_and_circuit
+from reverie_tpu.circuit.builders import (
+    mixed_b2a_circuit,
+    mul_bench_circuit,
+    wide_and_circuit,
+    z64_mul_bench_circuit,
+)
 from reverie_tpu.circuit.compile import compile_segments
 from reverie_tpu.proof import verify as cpu_verify
 
@@ -119,7 +124,35 @@ def test_streamed_verify_matches_unsegmented_verifier():
     assert base.verify(bad) == sk.verify(bad) == False  # noqa: E712
 
 
-def test_non_gf2_program_rejected():
-    prog = [CombineOp.z64(Gate(Op.INPUT, dst=0))]
-    with pytest.raises(ValueError):
-        compile_segments(prog, 4)
+Z64_CASES = {
+    "z64_mul": lambda: z64_mul_bench_circuit(24),
+    "b2a": lambda: mixed_b2a_circuit(),
+}
+
+
+@pytest.mark.parametrize("name", list(Z64_CASES))
+@pytest.mark.parametrize("seg_ops", [5, 31, 10_000])
+def test_streamed_z64_proof_matches_unsegmented(name, seg_ops):
+    """z64/B2A segments: carried u64-pair arena rows + windowed z64 tapes +
+    byte-aligned z64 stream stitching must reproduce the unsegmented proof
+    bytes exactly (B2A ops are atomic within a segment)."""
+    prog, wit2, witz = Z64_CASES[name]()
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    streamed = StreamingKKW(prog, seg_ops).prove(wit2, witz, seeds=s)
+    assert streamed.to_bytes() == base.to_bytes()
+
+
+def test_streamed_z64_verify():
+    prog, wit2, witz = Z64_CASES["b2a"]()
+    s = seeds256()
+    sk = StreamingKKW(prog, 7)
+    proof = sk.prove(wit2, witz, seeds=s)
+    assert cpu_verify(proof, prog)
+    assert TpuKKW(prog).verify(proof)
+    assert sk.verify(proof)
+    raw = bytearray(proof.to_bytes())
+    raw[len(raw) // 3] ^= 0x20
+    from reverie_tpu.proof.container import Proof
+
+    assert not sk.verify(Proof.from_bytes(bytes(raw)))
