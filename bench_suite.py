@@ -146,11 +146,16 @@ def bench_streaming():
     prog, wit2, witz = mul_bench_circuit(n)
     sk = StreamingKKW(prog, 1 << 20)
     seeds = np.random.RandomState(5).randint(0, 256, size=(256, 16), dtype=np.uint8)
-    _, dt, warm = _time2(lambda: sk.prove(wit2, witz, seeds=seeds))
+    proof, dt, warm = _time2(lambda: sk.prove(wit2, witz, seeds=seeds))
     log(f"streaming: {n} gates / {len(sk.segments)} segments prove {dt:.2f}s "
         f"(warm {warm:.1f}s)")
     print(json.dumps({"metric": "and_gates_per_sec_streamed", "value": round(n / dt),
                       "unit": "gates/s", "segments": len(sk.segments)}))
+    ok, dt, warm = _time2(lambda: sk.verify(proof))
+    assert ok
+    log(f"streaming: verify {dt:.2f}s (warm {warm:.1f}s)")
+    print(json.dumps({"metric": "and_gates_per_sec_streamed_verify",
+                      "value": round(n / dt), "unit": "gates/s"}))
 
 
 ALL = {"and1m": bench_and1m, "sha256": bench_sha256, "z64": bench_z64,
