@@ -558,8 +558,69 @@ class TpuKKW:
 
         timer = PhaseTimer()
         profile = bool(_os.environ.get("REVERIE_PROFILE"))
+        st = self._prove_dispatch(wit_gf2, wit_z64, seeds,
+                                  timer=timer if profile else None)
+        with timer.phase("challenge"):
+            self._prove_challenge(st)
+        with timer.phase("extract_pull"):
+            proof = self._prove_assemble(st)
+        if profile:
+            import sys as _sys
+
+            print("prove phase breakdown:\n" + timer.report(), file=_sys.stderr)
+        return proof
+
+    def prove_many(self, jobs, seeds: Optional[np.ndarray] = None):
+        """Software-pipelined proving of independent statements (same
+        circuit): proof i's device->host proof transfer and host assembly
+        overlap proof i+1's device compute, so sustained throughput is set by
+        per-proof device time rather than device time + transfer.  This is
+        the TPU analog of running the reference prover on a stream of
+        statements (its rayon pool keeps the CPU busy across proofs).
+
+        `jobs`: list of (wit_gf2, wit_z64); `seeds`: (N, total_reps, 16).
+        Returns a list of Proofs, each byte-identical to `prove()`'s output
+        for the same seed."""
+        import os as _os
+
+        n = len(jobs)
+        R = self.params.total_reps
+        if seeds is None:
+            seeds = np.frombuffer(
+                _os.urandom(n * R * KEY_SIZE), dtype=np.uint8
+            ).reshape(n, R, KEY_SIZE)
+        seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(n, R, KEY_SIZE)
+        states: list = [None] * n
+        proofs: list = [None] * n
+        for i in range(n):
+            states[i] = self._prove_dispatch(jobs[i][0], jobs[i][1], seeds[i])
+            if i >= 1:
+                self._prove_challenge(states[i - 1])
+            if i >= 2:
+                proofs[i - 2] = self._prove_assemble(states[i - 2])
+                states[i - 2] = None
+        self._prove_challenge(states[n - 1])
+        if n >= 2:
+            proofs[n - 2] = self._prove_assemble(states[n - 2])
+        proofs[n - 1] = self._prove_assemble(states[n - 1])
+        return proofs
+
+    def _prove_dispatch(self, wit_gf2, wit_z64, seeds, timer=None):
+        """Pipeline stage 1: enqueue all pre-challenge device work (tapes,
+        execution, transcript hashing) and start the async pull of the
+        per-rep hashes.  Returns the in-flight proof state."""
+        import os as _os
+
         cc, params = self.cc, self.params
         R = params.total_reps
+
+        if timer is None:
+            from ..utils.profiling import PhaseTimer
+
+            timer = PhaseTimer()
+            profile = False
+        else:
+            profile = True
 
         if seeds is None:
             seeds = np.frombuffer(
@@ -606,31 +667,59 @@ class TpuKKW:
             rep_h, ho2, hoz = self._hash_fn(False)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"]
             )
-            # one fused device->host pull: hashes + per-rep fail flags
-            buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
-            rep_h = buf[: R * 32].reshape(R, 32)
-            ho2 = buf[R * 32 : 2 * R * 32].reshape(R, 32)
-            hoz = buf[2 * R * 32 : 3 * R * 32].reshape(R, 32)
-        with timer.phase("fail_check"):
-            if buf[3 * R * 32 :].any():
-                raise AssertionError("witness is invalid (AssertZero failed)")
-        with timer.phase("challenge"):
-            comm = blake3(rep_h.tobytes())
+            # one fused device->host transfer: hashes + per-rep fail flags
+            dbuf = self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz)
+            try:
+                dbuf.copy_to_host_async()
+            except AttributeError:  # sharded / older arrays: pull lazily
+                pass
+            if profile:
+                import jax
 
+                jax.block_until_ready(dbuf)
+        return dict(seeds=seeds, player_keys=player_keys, out=out, dbuf=dbuf)
+
+    def _prove_challenge(self, st):
+        """Pipeline stage 2: block on the hash pull, derive the Fiat-Shamir
+        challenge on host, enqueue device extraction of the opened streams
+        and start their async pulls."""
+        params = self.params
+        R = params.total_reps
+        buf = np.asarray(st.pop("dbuf"))
+        rep_h = buf[: R * 32].reshape(R, 32)
+        st["ho2"] = buf[R * 32 : 2 * R * 32].reshape(R, 32)
+        st["hoz"] = buf[2 * R * 32 : 3 * R * 32].reshape(R, 32)
+        if buf[3 * R * 32 :].any():
+            raise AssertionError("witness is invalid (AssertZero failed)")
+        comm = blake3(rep_h.tobytes())
         open_map = challenge_to_opening(comm, params)
         omit = np.full(R, 8, dtype=np.int64)
         for rep, p in open_map.items():
             omit[rep] = p
+        cols = np.nonzero(omit < 8)[0]
+        omit_sel = omit[cols]
+        out = st.pop("out")
+        st["g2buf"] = self._extract_gf2_dispatch(out, cols, omit_sel)
+        st["zbuf"] = self._extract_z64_dispatch(out, cols, omit_sel)
+        for b in (st["g2buf"], st["zbuf"]):
+            if b is not None:
+                try:
+                    b.copy_to_host_async()
+                except AttributeError:
+                    pass
+        st.update(comm=comm, omit=omit, K=len(cols))
 
-        # extract opened streams on device (one-hot MXU select + packing)
-        import jax.numpy as jnp
-
-        with timer.phase("extract_pull"):
-            cols = np.nonzero(omit < 8)[0]
-            omit_sel = omit[cols]
-            open2 = self._extract_gf2_device(out, cols, omit_sel)
-            openz = self._extract_z64_device(out, cols, omit_sel)
-
+    def _prove_assemble(self, st) -> Proof:
+        """Pipeline stage 3: block on the opened-stream pulls and assemble
+        the proof container."""
+        R = self.params.total_reps
+        K = st["K"]
+        open2 = self._parse_gf2_buf(np.asarray(st["g2buf"]), K)
+        openz = self._parse_z64_buf(
+            None if st["zbuf"] is None else np.asarray(st["zbuf"]), K
+        )
+        seeds, player_keys, omit = st["seeds"], st["player_keys"], st["omit"]
+        ho2, hoz = st["ho2"], st["hoz"]
         p2 = ProofSingle([], [])
         pz = ProofSingle([], [])
         j = 0
@@ -650,15 +739,11 @@ class TpuKKW:
                 pz.preprocessing.append(
                     OpenPreprocessing(seeds[r].tobytes(), hoz[r].tobytes())
                 )
-        if profile:
-            import sys as _sys
+        return Proof(st["comm"], p2, pz)
 
-            print("prove phase breakdown:\n" + timer.report(), file=_sys.stderr)
-        return Proof(comm, p2, pz)
-
-    def _extract_gf2_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
-        """Device extraction of the gf2 opened streams; returns the list of
-        (recons, corrs, inputs) bytes per opened rep."""
+    def _extract_gf2_dispatch(self, out, cols: np.ndarray, omit_sel: np.ndarray):
+        """Enqueue device extraction of the gf2 opened streams (one-hot MXU
+        select + bit packing); returns the in-flight device buffer."""
         import jax.numpy as jnp
 
         cc = self.cc
@@ -672,10 +757,15 @@ class TpuKKW:
             cache[key] = make_gf2_extractor(cc)
         shifts_full = np.zeros(R, dtype=np.uint8)
         shifts_full[cols] = (7 - omit_sel).astype(np.uint8)
-        buf = np.asarray(cache[key](
+        return cache[key](
             out["onl2"], out["pre2"], jnp.asarray(shifts_full),
             jnp.asarray(cols.astype(np.int32)),
-        ))  # single pull: rec | cor | inp, each (K, n//8+1) flattened
+        )  # single buffer: rec | cor | inp, each (K, n//8+1) flattened
+
+    def _parse_gf2_buf(self, buf: np.ndarray, K: int):
+        """Split a pulled gf2 extraction buffer into per-rep
+        (recons, corrs, inputs) byte strings."""
+        cc = self.cc
         nb_r, nb_c, nb_i = (
             cc.n_recons2 // 8 + 1, cc.n_corrs2 // 8 + 1, cc.n_inputs2 // 8 + 1,
         )
@@ -687,24 +777,37 @@ class TpuKKW:
             for j in range(K)
         ]
 
-    def _extract_z64_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
-        """Device extraction of the z64 opened streams (omitted-player bytes
-        selected before the pull); returns (recons, corrs, inputs) bytes per
-        opened rep."""
+    def _extract_gf2_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
+        """Device extraction of the gf2 opened streams; returns the list of
+        (recons, corrs, inputs) bytes per opened rep."""
+        buf = np.asarray(self._extract_gf2_dispatch(out, cols, omit_sel))
+        return self._parse_gf2_buf(buf, len(cols))
+
+    def _extract_z64_dispatch(self, out, cols: np.ndarray, omit_sel: np.ndarray):
+        """Enqueue device extraction of the z64 opened streams (omitted-player
+        bytes selected before the pull); returns the in-flight device buffer,
+        or None when the circuit has no z64 events."""
         import jax.numpy as jnp
 
         cc = self.cc
-        K = len(cols)
         nr, nc, ni = len(cc.recon_slotsz), len(cc.corr_slotsz), len(cc.input_slotsz)
         if nr == 0 and nc == 0 and ni == 0:
-            return [(b"", b"", b"")] * K
+            return None
         if "extractz" not in self._hash_fns:
             self._hash_fns["extractz"] = make_z64_extractor(cc)
-        buf = np.asarray(self._hash_fns["extractz"](
+        return self._hash_fns["extractz"](
             out["onlz"], out["prez"],
             jnp.asarray(omit_sel.astype(np.int32)),
             jnp.asarray(cols.astype(np.int32)),
-        ))
+        )
+
+    def _parse_z64_buf(self, buf: Optional[np.ndarray], K: int):
+        """Split a pulled z64 extraction buffer into per-rep
+        (recons, corrs, inputs) byte strings."""
+        cc = self.cc
+        nr, nc, ni = len(cc.recon_slotsz), len(cc.corr_slotsz), len(cc.input_slotsz)
+        if buf is None:
+            return [(b"", b"", b"")] * K
         o1, o2 = K * nr * 8, K * (nr + nc) * 8
         rec = buf[:o1].reshape(K, nr * 8)
         cor = buf[o1:o2].reshape(K, nc * 8)
@@ -713,6 +816,14 @@ class TpuKKW:
             (rec[j].tobytes(), cor[j].tobytes(), inp[j].tobytes())
             for j in range(K)
         ]
+
+    def _extract_z64_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
+        """Device extraction of the z64 opened streams; returns
+        (recons, corrs, inputs) bytes per opened rep."""
+        buf = self._extract_z64_dispatch(out, cols, omit_sel)
+        if buf is not None:
+            buf = np.asarray(buf)
+        return self._parse_z64_buf(buf, len(cols))
 
     # -- batch proving ------------------------------------------------------
     def prove_batch(self, witnesses, seeds: Optional[np.ndarray] = None):
@@ -727,29 +838,42 @@ class TpuKKW:
         RT = N * R
         import os as _os
 
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
+        profile = bool(_os.environ.get("REVERIE_PROFILE"))
+
         if seeds is None:
             seeds = np.frombuffer(
                 _os.urandom(RT * KEY_SIZE), dtype=np.uint8
             ).reshape(N, R, KEY_SIZE)
         seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(N, R, KEY_SIZE)
 
-        player_keys = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(RT, 8, KEY_SIZE)
-        tape2 = self._gf2_tape(player_keys, None)
-        tz_lo, tz_hi = self._z64_tape(player_keys, None)
+        with timer.phase("expand_seeds"):
+            player_keys = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(RT, 8, KEY_SIZE)
+        with timer.phase("tape_gf2"):
+            tape2 = self._gf2_tape(player_keys, None)
+            if profile:
+                import jax
 
-        wit2 = np.zeros((cc.n_wit2, RT), dtype=np.uint8)
-        wzlo = np.zeros((cc.n_witz, RT), dtype=np.uint32)
-        wzhi = np.zeros((cc.n_witz, RT), dtype=np.uint32)
-        for pidx, (w2, wz) in enumerate(witnesses):
-            a2 = np.asarray([1 if b else 0 for b in w2], dtype=np.uint8)
-            az = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wz], dtype=U64)
-            if len(a2) < cc.n_wit2 or len(az) < cc.n_witz:
-                raise AssertionError("witness is too short")
-            lo, hi = up.from_u64(az[: cc.n_witz])
-            sl = slice(pidx * R, (pidx + 1) * R)
-            wit2[:, sl] = a2[: cc.n_wit2, None]
-            wzlo[:, sl] = lo[:, None]
-            wzhi[:, sl] = hi[:, None]
+                jax.block_until_ready(tape2)
+        with timer.phase("tape_z64"):
+            tz_lo, tz_hi = self._z64_tape(player_keys, None)
+
+        with timer.phase("wit_build"):
+            wit2 = np.zeros((cc.n_wit2, RT), dtype=np.uint8)
+            wzlo = np.zeros((cc.n_witz, RT), dtype=np.uint32)
+            wzhi = np.zeros((cc.n_witz, RT), dtype=np.uint32)
+            for pidx, (w2, wz) in enumerate(witnesses):
+                a2 = np.asarray([1 if b else 0 for b in w2], dtype=np.uint8)
+                az = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wz], dtype=U64)
+                if len(a2) < cc.n_wit2 or len(az) < cc.n_witz:
+                    raise AssertionError("witness is too short")
+                lo, hi = up.from_u64(az[: cc.n_witz])
+                sl = slice(pidx * R, (pidx + 1) * R)
+                wit2[:, sl] = a2[: cc.n_wit2, None]
+                wzlo[:, sl] = lo[:, None]
+                wzhi[:, sl] = hi[:, None]
 
         inp = dict(
             tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
@@ -759,11 +883,17 @@ class TpuKKW:
             from ..parallel.mesh import shard_inputs
 
             inp = shard_inputs(self.mesh, inp)
-        out = self._executor(PROVER, RT)(inp)
-        rep_h, ho2, hoz = self._hash_fn(False)(
-            out["onl2"], out["pre2"], out["onlz"], out["prez"]
-        )
-        buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
+        with timer.phase("execute"):
+            out = self._executor(PROVER, RT)(inp)
+            if profile:
+                import jax
+
+                jax.block_until_ready(out)
+        with timer.phase("hash"):
+            rep_h, ho2, hoz = self._hash_fn(False)(
+                out["onl2"], out["pre2"], out["onlz"], out["prez"]
+            )
+            buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
         rep_h = buf[: RT * 32].reshape(N, R, 32)
         ho2 = buf[RT * 32 : 2 * RT * 32].reshape(N, R, 32)
         hoz = buf[2 * RT * 32 : 3 * RT * 32].reshape(N, R, 32)
@@ -772,20 +902,24 @@ class TpuKKW:
             bad = int(np.nonzero(fail.any(axis=1))[0][0])
             raise AssertionError(f"witness {bad} is invalid (AssertZero failed)")
 
-        comms = [blake3(rep_h[pidx].tobytes()) for pidx in range(N)]
-        omits = np.full((N, R), 8, dtype=np.int64)
-        for pidx in range(N):
-            for rep, pl in challenge_to_opening(comms[pidx], params).items():
-                omits[pidx, rep] = pl
+        with timer.phase("challenge"):
+            comms = [blake3(rep_h[pidx].tobytes()) for pidx in range(N)]
+            omits = np.full((N, R), 8, dtype=np.int64)
+            for pidx in range(N):
+                for rep, pl in challenge_to_opening(comms[pidx], params).items():
+                    omits[pidx, rep] = pl
 
         import jax.numpy as jnp
 
         flat_omit = omits.reshape(RT)
         cols = np.nonzero(flat_omit < 8)[0]
         omit_sel = flat_omit[cols]
-        open2 = self._extract_gf2_device(out, cols, omit_sel)
-        openz = self._extract_z64_device(out, cols, omit_sel)
+        with timer.phase("extract_pull"):
+            open2 = self._extract_gf2_device(out, cols, omit_sel)
+            openz = self._extract_z64_device(out, cols, omit_sel)
 
+        timer_assemble = timer.phase("assemble")
+        timer_assemble.__enter__()
         proofs = []
         j = 0
         for pidx in range(N):
@@ -809,6 +943,11 @@ class TpuKKW:
                         OpenPreprocessing(seeds[pidx, r].tobytes(), hoz[pidx, r].tobytes())
                     )
             proofs.append(Proof(comms[pidx], p2, pz))
+        timer_assemble.__exit__(None, None, None)
+        if profile:
+            import sys as _sys
+
+            print("prove_batch phase breakdown:\n" + timer.report(), file=_sys.stderr)
         return proofs
 
     # -- verification -------------------------------------------------------

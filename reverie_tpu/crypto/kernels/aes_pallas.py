@@ -122,7 +122,7 @@ def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool 
     )(rkp)
 
 
-def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, start_ref, out_ref):
+def _aes_tape_kernel(tb: int, bpr: int, rkp_ref, mask_ref, start_ref, out_ref):
     """AES-CTR + tape assembly fused in one kernel.
 
     Extends _aes_kernel by writing the *tape words* directly: output element
@@ -136,21 +136,37 @@ def _aes_tape_kernel(tb: int, rkp_ref, mask_ref, start_ref, out_ref):
     start_ref (SMEM scalar): global CTR block of output block 0 -- streaming
     segments window the tape at arbitrary offsets (backend/streaming.py) and
     a traced start keeps one compile for all uniform segments.
+
+    bpr ("blocks per row"): lane-packing factor.  TPU vregs are (8, 128)
+    lanes; a single proof has only Kw=64 key words, which would waste half of
+    every lane.  The caller tiles the round keys/mask bpr times along the
+    lane axis and we process bpr consecutive counter blocks per vector row:
+    plane element (t, l) is counter block  base + t*bpr + l//Kw_real  for key
+    l % Kw_real.  The caller de-interleaves the (TB/bpr, ..., bpr*Kw_real)
+    output back to block-major order (one cheap XLA relayout).
     """
-    Kw = rkp_ref.shape[-1]
-    TB = tb
+    Kw = rkp_ref.shape[-1]      # lane width incl. tiling (= bpr * Kw_real)
+    TB = tb                     # counter blocks per grid step
+    T = TB // bpr               # vector rows per grid step
 
     rk0 = rkp_ref[0]  # (16, 8, Kw)
     base = start_ref[0].astype(U32) + (pl.program_id(0) * TB).astype(U32)
-    idx = base + jax.lax.broadcasted_iota(U32, (TB, Kw), 0)
+    row = jax.lax.broadcasted_iota(U32, (T, Kw), 0)
+    if bpr > 1:
+        lane = jax.lax.broadcasted_iota(U32, (T, Kw), 1)
+        kw_real = Kw // bpr
+        assert kw_real & (kw_real - 1) == 0, "Kw_real must be a power of two"
+        idx = base + row * np.uint32(bpr) + (lane >> np.uint32(kw_real.bit_length() - 1))
+    else:
+        idx = base + row
 
     def init_plane(by, bit):
         rk = rk0[by, bit][None, :]  # (1, Kw)
         shift = 8 * (15 - by) + bit
         if by < 8 or shift >= 32:
-            return jnp.broadcast_to(rk, (TB, Kw))
+            return jnp.broadcast_to(rk, (T, Kw))
         bitval = (idx >> np.uint32(shift)) & jnp.asarray(1, U32)
-        return (jnp.zeros((TB, Kw), U32) - bitval) ^ rk
+        return (jnp.zeros((T, Kw), U32) - bitval) ^ rk
 
     planes = tuple(init_plane(by, bit) for by in range(16) for bit in range(8))
 
@@ -223,22 +239,34 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
     streaming-segment tape windows."""
     Kw = rkp.shape[-1]
     B = n_blocks
+    mask2d = lane_mask.reshape(1, Kw)
+    # lane packing: vregs are (8, 128) -- when Kw < 128 (single proof Kw=64)
+    # tile the keys bpr times along lanes and pack bpr consecutive counter
+    # blocks per vector row, so every lane does real work (2x fewer vops)
+    bpr = 128 // Kw if (Kw < 128 and 128 % Kw == 0) else 1
+    if bpr > 1:
+        rkp = jnp.concatenate([rkp] * bpr, axis=-1)
+        mask2d = jnp.concatenate([mask2d] * bpr, axis=-1)
+    L = Kw * bpr  # kernel lane width
     # lane-axis tile: Pallas requires the minor block dim to be 128-divisible
     # or equal to the full axis; batch lanes are Kw = N*64
-    if Kw % 128 == 0:
-        kwt = min(((tile_kw + 127) // 128) * 128, Kw)
-        if Kw % kwt:
+    if L % 128 == 0:
+        kwt = min(((tile_kw + 127) // 128) * 128, L)
+        if L % kwt:
             kwt = 128
     else:
-        kwt = Kw  # Kw=64 (single proof) or odd-N batches: whole axis
+        kwt = L  # odd-N batches (e.g. Kw=192): whole axis
+    # (bpr > 1 implies Kw=64, L=128, kwt=128: packed kernels never lane-grid)
+    if tile_b % bpr:
+        tile_b = max(bpr, (tile_b // bpr) * bpr)
     # keep the block working set (~128 planes in + 128 out, u32) within VMEM
-    while tile_b > 8 and 2 * 128 * tile_b * kwt * 4 > 8 * 1024 * 1024:
+    while tile_b > 8 * bpr and 2 * 128 * (tile_b // bpr) * kwt * 4 > 8 * 1024 * 1024:
         tile_b //= 2
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
-    grid = (Bp // tile_b, Kw // kwt)
+    grid = (Bp // tile_b, L // kwt)
     words = pl.pallas_call(
-        functools.partial(_aes_tape_kernel, tile_b),
-        out_shape=jax.ShapeDtypeStruct((Bp, 16, 8, Kw), jnp.uint32),
+        functools.partial(_aes_tape_kernel, tile_b, bpr),
+        out_shape=jax.ShapeDtypeStruct((Bp // bpr, 16, 8, L), jnp.uint32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((11, 16, 8, kwt), lambda i, k: (0, 0, 0, k),
@@ -247,11 +275,17 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tile_b, 16, 8, kwt), lambda i, k: (i, 0, 0, k),
+        out_specs=pl.BlockSpec((tile_b // bpr, 16, 8, kwt),
+                               lambda i, k: (i, 0, 0, k),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rkp, lane_mask.reshape(1, Kw),
-      jnp.asarray(start_block, jnp.int32).reshape(1))
+    )(rkp, mask2d, jnp.asarray(start_block, jnp.int32).reshape(1))
+    if bpr > 1:
+        # de-interleave lane groups back to block-major order: element
+        # (t, by, j, g*Kw + k) is counter block t*bpr + g, key k
+        words = jnp.moveaxis(
+            words.reshape(Bp // bpr, 16, 8, bpr, Kw), 3, 1
+        ).reshape(Bp, 16, 8, Kw)
     # (Bp,16,8,Kw) u32 -> rows of tape bytes; plain reshape + bitcast only
     by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp,16,8,Kw,4)
     return by.reshape(Bp * 128, Kw * 4)[: B * 128]

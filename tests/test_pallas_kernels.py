@@ -24,9 +24,10 @@ def _keys(R: int) -> np.ndarray:
     return expand_seeds(seeds).reshape(R, 8, 16)
 
 
-@pytest.mark.parametrize("n_blocks", [32, 48])
-def test_pallas_tape_matches_host_golden(n_blocks):
-    R = 32  # Kw = 8
+@pytest.mark.parametrize("n_blocks,R", [(32, 32), (48, 32), (32, 256)])
+def test_pallas_tape_matches_host_golden(n_blocks, R):
+    # R=32 -> Kw=8 (bpr=16 lane packing); R=256 -> Kw=64 (bpr=2, the
+    # single-proof headline shape)
     pk = _keys(R)
     rkp = aj.round_key_planes(pk.reshape(-1, 16))
     mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)

@@ -115,6 +115,36 @@ def test_prove_batch_matches_single():
         assert sys_.verify(batch[i])
 
 
+def test_prove_many_matches_single():
+    """Pipelined proving (prove_many) must produce byte-identical proofs to
+    prove() for the same seeds -- the pipeline only reorders host/device
+    synchronization, never protocol messages."""
+    prog, wit2, witz = mul_bench_circuit(8)
+    rng = np.random.RandomState(11)
+    seeds = rng.randint(0, 256, size=(3, 256, 16), dtype=np.uint8)
+    sys_ = TpuKKW(prog)
+    jobs = [(wit2, witz)] * 3
+    proofs = sys_.prove_many(jobs, seeds=seeds)
+    for i in range(3):
+        single = sys_.prove(wit2, witz, seeds=seeds[i])
+        assert proofs[i].to_bytes() == single.to_bytes(), i
+        assert sys_.verify(proofs[i])
+
+
+def test_prove_many_mixed_b2a_matches_single():
+    """prove_many on a mixed GF2+Z64+B2A circuit (exercises the z64
+    extraction buffers through the pipeline stages)."""
+    prog, wit2, witz = mixed_b2a_circuit()
+    rng = np.random.RandomState(12)
+    seeds = rng.randint(0, 256, size=(2, 256, 16), dtype=np.uint8)
+    sys_ = TpuKKW(prog)
+    proofs = sys_.prove_many([(wit2, witz)] * 2, seeds=seeds)
+    for i in range(2):
+        single = sys_.prove(wit2, witz, seeds=seeds[i])
+        assert proofs[i].to_bytes() == single.to_bytes(), i
+        assert sys_.verify(proofs[i])
+
+
 def test_device_aes_z64_tape_path():
     """mz > 512 routes z64 tape generation through the device AES kernel."""
     prog, wit2, witz = z64_mul_bench_circuit(300)  # mz = 602 > 512
