@@ -1,6 +1,12 @@
 """Headline benchmark: AND gates/sec proving (Z2), all 256 repetitions.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`value` is the sustained (pipelined) proving throughput over a stream of
+independent statements (TpuKKW.prove_many); `single_prove_s` /
+`single_gates_per_sec` report one-proof latency.  On this rig the sustained
+number is capped by the ~30 MB/s axon device tunnel (the 1M-gate proof is
+~10 MB -> ~3 M gates/s tunnel speed-of-light; see BASELINE.md roofline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Phase timings go to stderr.
 
 Circuit: the reference's prover-bench shape (proof/mod.rs:322-335) scaled to
@@ -31,7 +37,37 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _check_device(timeout_s: float = 180.0) -> None:
+    """Fail fast (with an honest JSON error line) instead of hanging forever
+    when the device link is down: platform plugins can block indefinitely in
+    jax.devices() if their transport is dead."""
+    import threading
+
+    devices = []
+
+    def probe():
+        import jax
+
+        devices.extend(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or not devices:
+        print(json.dumps({
+            "metric": "prove_and_gates_per_sec",
+            "value": 0,
+            "unit": "gates/s",
+            "vs_baseline": 0.0,
+            "error": f"device init did not complete in {timeout_s:.0f}s "
+                     "(accelerator link down?)",
+        }))
+        sys.exit(2)
+    log(f"devices: {devices}")
+
+
 def main() -> None:
+    _check_device()
     import jax
 
     # persistent compile cache: repeated bench runs skip the (expensive)
@@ -56,24 +92,43 @@ def main() -> None:
         f"(depth={sys_.cc.depth}, m2={sys_.cc.m2})")
 
     rng = np.random.RandomState(0)
-    seeds = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
+    NP = 4  # pipeline depth for the sustained-throughput measurement
+    seeds = rng.randint(0, 256, size=(NP, 256, 16), dtype=np.uint8)
 
     # warmup (includes jit compile)
     t0 = time.time()
-    proof = sys_.prove(wit2, witz, seeds=seeds)
+    proof = sys_.prove(wit2, witz, seeds=seeds[0])
     log(f"  warmup prove (incl. jit) {time.time()-t0:.1f}s")
 
-    # steady state: best of 3 (the axon device tunnel's D2H bandwidth varies
-    # 20-34 MB/s run to run; the proof pull is ~10 MB of the wall time)
-    dt = float("inf")
+    # single-proof latency: best of 3 (the axon device tunnel's D2H bandwidth
+    # varies run to run; the proof pull is ~10 MB of the wall time)
+    dt_single = float("inf")
     for i in range(3):
         t0 = time.time()
-        proof = sys_.prove(wit2, witz, seeds=seeds)
+        proof = sys_.prove(wit2, witz, seeds=seeds[0])
         it = time.time() - t0
         log(f"  prove #{i}: {it:.2f}s")
-        dt = min(dt, it)
-    gates_per_sec = N_GATES / dt
-    log(f"  prove best: {dt:.2f}s -> {gates_per_sec/1e6:.2f}M AND gates/s")
+        dt_single = min(dt_single, it)
+    log(f"  single prove best: {dt_single:.2f}s -> "
+        f"{N_GATES/dt_single/1e6:.2f}M AND gates/s")
+
+    # sustained throughput: prove_many pipelines proof i's device->host
+    # transfer under proof i+1's device compute (the workload a prover
+    # service runs; the reference's rayon pool similarly overlaps work
+    # across a stream of statements).  Proof bytes byte-identical to
+    # prove() -- asserted below.
+    jobs = [(wit2, witz)] * NP
+    dt_pipe = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        proofs = sys_.prove_many(jobs, seeds=seeds)
+        it = (time.time() - t0) / NP
+        log(f"  prove_many x{NP} #{i}: {it:.3f}s/proof")
+        dt_pipe = min(dt_pipe, it)
+    assert proofs[0].to_bytes() == proof.to_bytes(), "pipeline byte mismatch"
+    gates_per_sec = N_GATES / dt_pipe
+    log(f"  pipelined: {dt_pipe:.3f}s/proof -> "
+        f"{gates_per_sec/1e6:.2f}M AND gates/s sustained")
 
     t0 = time.time()
     ok = sys_.verify(proof)
@@ -94,6 +149,9 @@ def main() -> None:
                 "value": round(gates_per_sec),
                 "unit": "gates/s",
                 "vs_baseline": round(gates_per_sec / REF_GATES_PER_SEC, 3),
+                "pipelined": True,
+                "single_prove_s": round(dt_single, 3),
+                "single_gates_per_sec": round(N_GATES / dt_single),
                 "verify_ok": bool(ok),
                 "verify_s": round(dt_verify, 3),
             }

@@ -38,14 +38,26 @@ def _load_witness(path: str):
     return parse_witness_file(path)
 
 
-def _enable_jit_cache() -> None:
+def _enable_jit_cache(backend: str = "tpu") -> None:
     """Persistent XLA compile cache for the jitted backends: repeated CLI
     invocations on the same circuit shape skip recompilation (main.rs has no
-    analog -- Rust compiles ahead of time; this is the JAX equivalent)."""
+    analog -- Rust compiles ahead of time; this is the JAX equivalent).
+
+    For --backend cpu, also pin jax to its CPU platform *before* any device
+    is touched: site-wide plugins may register an external accelerator
+    platform whose initialization blocks indefinitely when the device link
+    is down, which must never stall a CPU-only proof.  (Setting the
+    JAX_PLATFORMS env var is not sufficient once such a plugin has
+    registered itself; the config update is.)"""
     import os
 
     import jax
 
+    if backend == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     cache = os.environ.get(
         "REVERIE_JIT_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "reverie_tpu", "jax"),
@@ -56,7 +68,7 @@ def _enable_jit_cache() -> None:
 
 
 def _backend_system(program, backend: str, segment_ops: int = 0):
-    _enable_jit_cache()
+    _enable_jit_cache(backend)
     if segment_ops:
         from .backend.streaming import StreamingKKW
 

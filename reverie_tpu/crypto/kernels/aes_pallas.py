@@ -122,7 +122,8 @@ def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool 
     )(rkp)
 
 
-def _aes_tape_kernel(tb: int, bpr: int, rkp_ref, mask_ref, start_ref, out_ref):
+def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, rkp_ref, mask_ref,
+                     start_ref, out_ref):
     """AES-CTR + tape assembly fused in one kernel.
 
     Extends _aes_kernel by writing the *tape words* directly: output element
@@ -212,7 +213,13 @@ def _aes_tape_kernel(tb: int, bpr: int, rkp_ref, mask_ref, start_ref, out_ref):
             for bit in range(8)
         )
 
-    planes = jax.lax.fori_loop(1, 10, round_body, planes)
+    if unroll:
+        # static rounds: no 128-plane loop carry (the fori_loop form makes
+        # Mosaic round-trip the whole state through VMEM every round)
+        for rnd in range(1, 10):
+            planes = round_body(rnd, planes)
+    else:
+        planes = jax.lax.fori_loop(1, 10, round_body, planes)
     planes = sub_bytes(planes)
     planes = shift_rows(planes)
     rk10 = rkp_ref[10]
@@ -231,7 +238,7 @@ def _aes_tape_kernel(tb: int, bpr: int, rkp_ref, mask_ref, start_ref, out_ref):
 
 def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                             tile_b: int = 32, tile_kw: int = 64,
-                            interpret: bool = False):
+                            interpret: bool = False, unroll: bool = False):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2, fully in-kernel.
     Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple and
     grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
@@ -265,7 +272,7 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     grid = (Bp // tile_b, L // kwt)
     words = pl.pallas_call(
-        functools.partial(_aes_tape_kernel, tile_b, bpr),
+        functools.partial(_aes_tape_kernel, tile_b, bpr, unroll),
         out_shape=jax.ShapeDtypeStruct((Bp // bpr, 16, 8, L), jnp.uint32),
         grid=grid,
         in_specs=[

@@ -7,18 +7,23 @@ crypto/hash.rs:28-104; here all R streams hash in parallel as vector lanes).
 
 Implementation notes:
 
-  * The 4x4 state is held as row tensors (4, ...): each round is two
-    *vectorized* G mixes (column phase, then diagonal phase via rolls)
-    instead of eight scalar G calls -- ~3x fewer XLA ops, same math.
-  * Blocks chain within a chunk via `lax.scan`; chunks vectorize as lanes.
+  * HOT path (bulk chunk CVs, `lax.scan` over blocks): the 4x4 state is 16
+    SEPARATE word tensors -- each G mix is wiring between named variables,
+    so the diagonal phase costs zero data movement.  (A (4, ...) row-tensor
+    layout pays 4 sublane-relayout `rolls` per phase -- 28 relayouts per
+    64-byte block.)
+  * COLD paths (tree reduce, pair hashing) keep the row-tensor compress:
+    chaining compress_words graphs OUTSIDE a scan makes XLA's CPU compile
+    superlinear (2 chained tree levels = 19 s, measured), while the rolls
+    cost nothing at these tiny shapes.
+  * Blocks chain within a chunk via `lax.scan` with the 8-word CV tuple as
+    carry; chunks vectorize as lanes.
   * The left-biased chunk tree reduces with one *batched* compress per tree
     level (level-wise adjacent pairing with odd-last promotion is exactly
     BLAKE3's tree shape) -- not one compress per node.
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,24 +39,42 @@ IV = np.array(
 MSG_PERM = np.array([2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8])
 CHUNK_START, CHUNK_END, PARENT, ROOT = 1, 2, 4, 8
 
-# message index schedule: for each round, the column-phase (mx, my) and
-# diagonal-phase (mx, my) word indices, 4 lanes each
+# per-round message word indices: round r's j-th G input is m[_MSCHED[r][j]]
+_MSCHED = []
+_perm = list(range(16))
+for _ in range(7):
+    _MSCHED.append(tuple(_perm))
+    _perm = [_perm[MSG_PERM[i]] for i in range(16)]
+
+# row-phase schedule for the (4, ...) row-tensor compress (cold paths)
 _SCHED = []
-_perm = np.arange(16)
+_permr = np.arange(16)
 for _ in range(7):
     _SCHED.append(
         (
-            _perm[[0, 2, 4, 6]].copy(),
-            _perm[[1, 3, 5, 7]].copy(),
-            _perm[[8, 10, 12, 14]].copy(),
-            _perm[[9, 11, 13, 15]].copy(),
+            _permr[[0, 2, 4, 6]].copy(),
+            _permr[[1, 3, 5, 7]].copy(),
+            _permr[[8, 10, 12, 14]].copy(),
+            _permr[[9, 11, 13, 15]].copy(),
         )
     )
-    _perm = _perm[MSG_PERM]
+    _permr = _permr[MSG_PERM]
 
 
 def _rotr(x, n: int):
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def _g(a, b, c, d, mx, my):
+    a = a + b + mx
+    d = _rotr(d ^ a, 16)
+    c = c + d
+    b = _rotr(b ^ c, 12)
+    a = a + b + my
+    d = _rotr(d ^ a, 8)
+    c = c + d
+    b = _rotr(b ^ c, 7)
+    return a, b, c, d
 
 
 def _g_vec(a, b, c, d, mx, my):
@@ -72,12 +95,13 @@ def _roll(x, k: int):
 
 def compress_rows(r0, r1, m, counter_lo, counter_hi, block_len, flags,
                   full: bool = False):
-    """One vectorized compression.
-
-    r0, r1: (4, S) u32 state rows (cv words 0-3, 4-7); m: (16, S) u32 message
-    words; counters/len/flags broadcastable to S.  Returns (out0, out1) and,
-    when `full`, additionally (hi0, hi1) = rows v[8..16] ^ cv.
-    """
+    """One vectorized compression on (4, S) state rows (diagonal phase via
+    rolls).  Used on the COLD paths (tree reduce, pair hashing, tail
+    chunks): the rolls cost sublane relayouts at runtime, but chained
+    row-compresses compile fast, whereas chaining `compress_words` graphs
+    outside lax.scan makes XLA's CPU pipeline superlinear (2 chained levels
+    = 19 s compile, measured).  The hot bulk-chunk path uses compress_words
+    under a scan instead."""
     S = r0.shape[1:]
     bc = lambda x: jnp.broadcast_to(jnp.asarray(x, U32), S).astype(U32)
     a, b = r0, r1
@@ -98,7 +122,36 @@ def compress_rows(r0, r1, m, counter_lo, counter_hi, block_len, flags,
     return out0, out1
 
 
-def _iv_rows(S) -> Tuple:
+def compress_words(cv, m, counter_lo, counter_hi, block_len, flags,
+                   full: bool = False):
+    """One compression on 16 separate word tensors.
+
+    cv: tuple of 8 u32 tensors of shape S (the chaining value); m: indexable
+    of 16 u32 tensors broadcastable to S; counters/len/flags broadcastable to
+    S.  Returns the 8 output words (plus words 8..15 ^ cv when `full`).  All
+    cross-word routing is Python variable wiring -- no rolls/relayouts."""
+    S = cv[0].shape
+    bc = lambda x: jnp.broadcast_to(jnp.asarray(x, U32), S).astype(U32)
+    v = list(cv) + [bc(int(IV[i])) for i in range(4)] + [
+        bc(counter_lo), bc(counter_hi), bc(block_len), bc(flags)
+    ]
+    for rnd in range(7):
+        s = _MSCHED[rnd]
+        v[0], v[4], v[8], v[12] = _g(v[0], v[4], v[8], v[12], m[s[0]], m[s[1]])
+        v[1], v[5], v[9], v[13] = _g(v[1], v[5], v[9], v[13], m[s[2]], m[s[3]])
+        v[2], v[6], v[10], v[14] = _g(v[2], v[6], v[10], v[14], m[s[4]], m[s[5]])
+        v[3], v[7], v[11], v[15] = _g(v[3], v[7], v[11], v[15], m[s[6]], m[s[7]])
+        v[0], v[5], v[10], v[15] = _g(v[0], v[5], v[10], v[15], m[s[8]], m[s[9]])
+        v[1], v[6], v[11], v[12] = _g(v[1], v[6], v[11], v[12], m[s[10]], m[s[11]])
+        v[2], v[7], v[8], v[13] = _g(v[2], v[7], v[8], v[13], m[s[12]], m[s[13]])
+        v[3], v[4], v[9], v[14] = _g(v[3], v[4], v[9], v[14], m[s[14]], m[s[15]])
+    out = tuple(v[i] ^ v[i + 8] for i in range(8))
+    if full:
+        return out + tuple(v[i + 8] ^ cv[i] for i in range(8))
+    return out
+
+
+def _iv_rows(S):
     shape = (4,) + tuple(S)
     r0 = jnp.broadcast_to(
         jnp.asarray(IV[:4])[(slice(None),) + (None,) * len(S)], shape
@@ -117,10 +170,16 @@ def _bytes_to_words(buf):
 
 
 def _chunk_cvs(words, nblocks: int, block_lens: np.ndarray, counters: np.ndarray,
-               last_flags_extra: int = 0):
-    """words: (n_chunks, nblocks, 16, R) u32 -> (r0, r1) each (4, n_chunks, R)."""
+               last_flags_extra: int = 0, use_words: bool = False):
+    """words: (n_chunks, nblocks, 16, R) u32 -> (r0, r1) each (4, n_chunks, R).
+
+    use_words selects the 16-separate-word-tensor compress for the scan body
+    (zero relayouts at runtime -- the hot bulk-chunk path).  It must stay OFF
+    for the small tail/one-chunk calls that get fused inside executor jits:
+    XLA's CPU pipeline goes pathological (>30 min vs 30 s for the golden-test
+    executor, measured round 2c) compiling the ~500-op words scan body inside
+    those larger graphs, while the row-tensor body compiles fast everywhere."""
     n_chunks, _, _, R = words.shape
-    r0, r1 = _iv_rows((n_chunks, R))
     ctr = jnp.asarray(counters, U32).reshape(n_chunks, 1)
 
     flags = np.zeros(nblocks, np.uint32)
@@ -129,17 +188,31 @@ def _chunk_cvs(words, nblocks: int, block_lens: np.ndarray, counters: np.ndarray
 
     ms = jnp.swapaxes(words, 0, 1)  # (nblocks, n_chunks, 16, R)
     ms = jnp.swapaxes(ms, 1, 2)  # (nblocks, 16, n_chunks, R)
+    xs = (ms, jnp.asarray(block_lens, U32), jnp.asarray(flags, U32))
 
-    def body(carry, xs):
+    if use_words:
+        iv = tuple(
+            jnp.broadcast_to(jnp.asarray(int(IV[i]), U32), (n_chunks, R))
+            for i in range(8)
+        )
+
+        def body(cv, x):
+            m, blen, flg = x
+            out = compress_words(cv, [m[i] for i in range(16)], ctr, 0, blen, flg)
+            return out, None
+
+        cv, _ = jax.lax.scan(body, iv, xs)
+        return jnp.stack(cv[:4], axis=0), jnp.stack(cv[4:], axis=0)
+
+    r0, r1 = _iv_rows((n_chunks, R))
+
+    def body_rows(carry, x):
         r0, r1 = carry
-        m, blen, flg = xs
+        m, blen, flg = x
         o0, o1 = compress_rows(r0, r1, m, ctr, jnp.zeros_like(ctr), blen, flg)
         return (o0, o1), None
 
-    (r0, r1), _ = jax.lax.scan(
-        body, (r0, r1),
-        (ms, jnp.asarray(block_lens, U32), jnp.asarray(flags, U32)),
-    )
+    (r0, r1), _ = jax.lax.scan(body_rows, (r0, r1), xs)
     return r0, r1
 
 
@@ -166,7 +239,7 @@ def _bulk_cvs(words, chunk_base):
 
         return chunk_cvs_pallas(words, chunk_base)
     ctr = jnp.asarray(chunk_base, U32) + jnp.arange(n, dtype=U32)
-    return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr)
+    return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr, use_words=True)
 
 
 def _tree_reduce(r0, r1, is_root: bool):
