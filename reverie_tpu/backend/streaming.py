@@ -22,8 +22,10 @@ Re-execution trades ~1x extra compute for never materializing a full stream
 levelized Executors (backend/tpu.py) with carry_in/carry_out; uniform
 segments share jit cache entries because gate tables are runtime inputs.
 
-GF2-only circuits for now (the flagship SHA-256 / AND-tree statements);
-z64/B2A segments would carry z64 arena rows the same way.
+All op kinds stream: GF2, Z64, and B2A segments carry their domain's arena
+rows (gf2 byte rows + z64 u32-pair rows) across segment boundaries.  With a
+`mesh`, every segment executor additionally shards the repetition axis over
+the device mesh (multi-chip streaming of beyond-HBM circuits).
 """
 
 from __future__ import annotations
@@ -98,8 +100,14 @@ class StreamingKKW:
     TpuKKW.prove on the same seeds (tests/test_streaming.py)."""
 
     def __init__(self, program: Sequence[CombineOp], seg_ops: int,
-                 params: ProtocolParams = DEFAULT_PARAMS):
+                 params: ProtocolParams = DEFAULT_PARAMS, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh -- shards the repetition axis of
+        every segment executor over the mesh devices (parallel/mesh.py), so a
+        beyond-HBM circuit streams across a multi-chip slice: each device
+        holds O(segment / n_devices) arena rows + tape windows + hash states.
+        Proof bytes are unchanged (tests/test_streaming.py)."""
         self.params = params
+        self.mesh = mesh
         self.segments: List[Segment] = compile_segments(program, seg_ops)
         self.m2 = sum(s.cc.m2 for s in self.segments)
         self.n_wit2 = sum(s.cc.n_wit2 for s in self.segments)
@@ -125,7 +133,7 @@ class StreamingKKW:
         if key not in self._executors:
             seg = self.segments[s]
             self._executors[key] = Executor(
-                seg.cc, mode, total_reps=R,
+                seg.cc, mode, total_reps=R, mesh=self.mesh,
                 carry_in=len(seg.carry_in), carry_out_vals=seg.carry_out_vals,
                 carry_inz=len(seg.carry_inz),
                 carry_outz_vals=seg.carry_outz_vals,
@@ -363,6 +371,12 @@ class StreamingKKW:
                 inp["witz_hi"] = np.zeros((0, R), np.uint32)
             if seg_inputs is not None:
                 inp.update(seg_inputs(s))
+            if self.mesh is not None:
+                # shard the rep axis over the mesh (carry arrays join below
+                # as executor outputs, already laid out by GSPMD)
+                from ..parallel.mesh import shard_inputs
+
+                inp = shard_inputs(self.mesh, inp)
             if seg.carry_in:
                 self._gather_carry(seg.carry_src, carry_store,
                                    self._GF2_CARRY, inp)
