@@ -218,3 +218,44 @@ def test_tpu_verify_rejects_out_of_range_omit(gf2_case):
     bad2 = _mut(proof)
     bad2.z64.online[0].omit = 8
     assert sys_.verify(bad2) is False
+
+
+def test_truncation_fuzz_every_prefix_class(gf2_case):
+    """Sweep truncation points across the whole container: every prefix must
+    either raise ValueError at parse (truncated container) or parse and then
+    cleanly verify False / stay lenient-accept -- never crash with an
+    unrelated exception.  (The reference's parser is length-inferring and
+    lenient, online.rs:124,163,171; a prefix that still contains every field
+    it reads can legitimately verify true.)"""
+    prog, proof = gf2_case
+    raw = proof.to_bytes()
+    n = len(raw)
+    # all short prefixes + a dense sweep of 64 points across the body
+    points = list(range(0, 64)) + [n * i // 64 for i in range(1, 64)] + [n - 1]
+    for cut in sorted(set(points)):
+        blob = raw[:cut]
+        try:
+            p = Proof.from_bytes(blob)
+        except ValueError:
+            continue
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"cut={cut}: non-ValueError parse crash: {e!r}")
+        ok = verify(p, prog)
+        assert isinstance(ok, (bool, np.bool_)), f"cut={cut}: verify returned {ok!r}"
+
+
+def test_byte_flip_fuzz_never_crashes(gf2_case):
+    """Flip one byte at a sample of positions across the proof: parsing may
+    reject (ValueError), verification may reject (False) or -- for bytes the
+    lenient verifier never reads -- still accept, but nothing may crash."""
+    prog, proof = gf2_case
+    raw = bytearray(proof.to_bytes())
+    n = len(raw)
+    for pos in [n * i // 97 for i in range(97)]:
+        blob = bytes(raw[:pos]) + bytes([raw[pos] ^ 0x5A]) + bytes(raw[pos + 1:])
+        try:
+            p = Proof.from_bytes(blob)
+        except ValueError:
+            continue
+        ok = verify(p, prog)
+        assert isinstance(ok, (bool, np.bool_)), f"pos={pos}: verify returned {ok!r}"
