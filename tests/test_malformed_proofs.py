@@ -259,3 +259,22 @@ def test_byte_flip_fuzz_never_crashes(gf2_case):
             continue
         ok = verify(p, prog)
         assert isinstance(ok, (bool, np.bool_)), f"pos={pos}: verify returned {ok!r}"
+
+
+def test_tpu_verify_truncation_fuzz(gf2_case):
+    """The TpuKKW verifier must return clean bools across the same
+    truncation sweep as the CPU golden verifier (ADVICE r1: a bool API must
+    reject, not raise, on well-framed but short/odd proofs)."""
+    from reverie_tpu.backend.tpu_host import TpuKKW
+
+    prog, proof = gf2_case
+    sys_ = TpuKKW(prog)
+    raw = proof.to_bytes()
+    n = len(raw)
+    for cut in sorted({n * i // 16 for i in range(1, 16)} | {n - 1, n - 7}):
+        try:
+            p = Proof.from_bytes(raw[:cut])
+        except ValueError:
+            continue
+        ok = sys_.verify(p)
+        assert isinstance(ok, (bool, np.bool_)), f"cut={cut}: {ok!r}"
