@@ -396,11 +396,7 @@ class TpuKKW:
         key = (mode, R)
         if key not in self._executors:
             cc = self.cc
-            if (
-                cc.depth > self.SCAN_DEPTH_THRESHOLD
-                and cc.n_valsz <= 1
-                and cc.mz == 0
-            ):
+            if cc.depth > self.SCAN_DEPTH_THRESHOLD:
                 from .tpu_scan import ScanExecutor
 
                 self._executors[key] = ScanExecutor(cc, mode, total_reps=R,

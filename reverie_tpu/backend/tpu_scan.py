@@ -8,7 +8,12 @@ the body computes all gate families and selects by opcode.  Slots that don't
 produce a result write to trash rows (dst = V, event slot = T), keeping the
 body fully uniform.
 
-GF2-only (z64/B2A circuits use the unrolled executor).
+Waves carry W GF2 slots plus, for circuits with z64/B2A ops, Wz z64-side
+slots (every z64 gate family computed + opcode-selected the same way; B2A
+slots bridge the domains by indexing the GF2 arenas/streams through the
+precompiled b* columns).  Deep arithmetic and B2A-heavy circuits therefore
+compile as one scan body too, instead of one op sequence per level
+(reference analog: the single interpreter loop, interpreter/combine.rs).
 """
 
 from __future__ import annotations
@@ -19,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..algebra import u64pair as up
 from ..circuit.compile import (
+    B2A_CORR,
+    B2A_OUT,
     G_ADD,
     G_ADDC,
     G_ASSERT,
@@ -29,13 +37,23 @@ from ..circuit.compile import (
     G_MULC,
     G_RANDOM,
     G_SUBC,
+    Z_SUB,
     CompiledCircuit,
     WaveTable,
     build_waves,
 )
-from .tpu import PROVER, VERIFY_ONL, VERIFY_PRE, _expand, _parity8
+from .tpu import (
+    PROVER,
+    VERIFY_ONL,
+    VERIFY_PRE,
+    _compose_bits,
+    _expand,
+    _parity8,
+    _recon_sum,
+)
 
 U8 = jnp.uint8
+U32 = jnp.uint32
 
 
 class ScanExecutor:
@@ -43,8 +61,6 @@ class ScanExecutor:
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
                  wave_width: int = 0, mesh=None):
-        if cc.n_valsz > 1 or cc.mz > 0:
-            raise ValueError("scan mode is GF2-only")
         self.cc = cc
         self.mode = mode
         self.R = total_reps
@@ -62,11 +78,13 @@ class ScanExecutor:
             while wave_width < min(256, 2 * mean):
                 wave_width *= 2
         self.waves = build_waves(cc, wave_width)
-        xs_host = {
-            k: np.asarray(getattr(self.waves, k)) for k in (
-                "op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec", "corr",
-                "onl", "pre", "cbit")
-        }
+        cols = ["op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec",
+                "corr", "onl", "pre", "cbit"]
+        if self.waves.has_z64:
+            cols += ["zop", "zdst", "za", "zb", "zt0", "zt1", "zwit",
+                     "zinrec", "zrec", "zcorr", "zzr", "zclo", "zchi",
+                     "zonl", "zpre", "bbits", "brec", "bonl"]
+        xs_host = {k: np.asarray(getattr(self.waves, k)) for k in cols}
         if mesh is not None:
             # wave tables replicate across the mesh; the rep axis of the
             # inputs/carry is sharded (parallel/mesh.py) and propagates
@@ -85,13 +103,14 @@ class ScanExecutor:
         return {
             "onl2": out["onl2"],
             "pre2": out["pre2"],
-            "onlz": jnp.zeros((1, R), U8),
-            "prez": jnp.zeros((1, R), U8),
+            "onlz": out.get("onlz", jnp.zeros((1, R), U8)),
+            "prez": out.get("prez", jnp.zeros((1, R), U8)),
             "fail": out["fail"],
         }
 
     def _trace(self, inp, xs):
         cc, mode, R = self.cc, self.mode, self.R
+        has_z = self.waves.has_z64
 
         mask2 = jnp.zeros((cc.n_vals2 + 1, R), U8)  # +1 trash row
         corr2 = jnp.zeros((cc.n_vals2 + 1, R), U8)
@@ -99,14 +118,246 @@ class ScanExecutor:
         pre2 = jnp.zeros((cc.pre2 + 1, R), U8)
         fail = jnp.zeros((R,), jnp.bool_)
 
-        tape2 = inp["tape2"]
-        wit2 = inp.get("wit2")
-        in2 = inp.get("in2")
-        co2 = inp.get("co2")
-        re2 = inp.get("re2")
+        def pad0(v, shape, dtype=U8):
+            # a z64-only circuit leaves gf2-side arrays empty; gathers with
+            # (ignored) index 0 still need one row
+            if v is None or v.shape[0] == 0:
+                return jnp.zeros(shape, dtype)
+            return v
+
+        tape2 = pad0(inp["tape2"], (1, R))
+        wit2 = pad0(inp.get("wit2"), (1, R))
+        in2 = pad0(inp.get("in2"), (1, R))
+        co2 = pad0(inp.get("co2"), (1, R))
+        re2 = pad0(inp.get("re2"), (1, R))
+
+        if has_z:
+            Vz = cc.n_valsz
+            mzlo = jnp.zeros((Vz + 1, R, 8), U32)
+            mzhi = jnp.zeros((Vz + 1, R, 8), U32)
+            czlo = jnp.zeros((Vz + 1, R), U32)
+            czhi = jnp.zeros((Vz + 1, R), U32)
+            onlz = jnp.zeros((cc.onlz + 1, R), U8)
+            prez = jnp.zeros((cc.prez + 1, R), U8)
+
+            def zpad(name, shape, dtype=U32):
+                v = inp.get(name)
+                if v is None or v.shape[0] == 0:
+                    return jnp.zeros(shape, dtype)
+                return v
+
+            tz_lo = zpad("tapez_lo", (1, R, 8))
+            tz_hi = zpad("tapez_hi", (1, R, 8))
+            wz_lo = zpad("witz_lo", (1, R))
+            wz_hi = zpad("witz_hi", (1, R))
+            inz_lo = zpad("inz_lo", (1, R))
+            inz_hi = zpad("inz_hi", (1, R))
+            coz_lo = zpad("coz_lo", (1, R))
+            coz_hi = zpad("coz_hi", (1, R))
+            rez_lo = zpad("rez_lo", (1, R, 8))
+            rez_hi = zpad("rez_hi", (1, R, 8))
+
+        def z64_slots(zst, w):
+            """Compute one wave's Wz z64 slots: every family, opcode-select."""
+            mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2, fail = zst
+            zop = w["zop"]
+            op2 = zop[:, None]  # (Wz, 1) -> (Wz, R) selects
+            op3 = zop[:, None, None]  # (Wz, R, 8) / (Wz, 64, R) selects
+            Wz = zop.shape[0]
+
+            am_lo = jnp.take(mzlo, w["za"], axis=0)  # (Wz, R, 8)
+            am_hi = jnp.take(mzhi, w["za"], axis=0)
+            bm_lo = jnp.take(mzlo, w["zb"], axis=0)
+            bm_hi = jnp.take(mzhi, w["zb"], axis=0)
+            ac_lo = jnp.take(czlo, w["za"], axis=0)  # (Wz, R)
+            ac_hi = jnp.take(czhi, w["za"], axis=0)
+            bc_lo = jnp.take(czlo, w["zb"], axis=0)
+            bc_hi = jnp.take(czhi, w["zb"], axis=0)
+            t0_lo = jnp.take(tz_lo, w["zt0"], axis=0)  # (Wz, R, 8)
+            t0_hi = jnp.take(tz_hi, w["zt0"], axis=0)
+            t1_lo = jnp.take(tz_lo, w["zt1"], axis=0)
+            t1_hi = jnp.take(tz_hi, w["zt1"], axis=0)
+            k_lo = jnp.broadcast_to(w["zclo"][:, None], (Wz, R))
+            k_hi = jnp.broadcast_to(w["zchi"][:, None], (Wz, R))
+            zero2 = jnp.zeros((Wz, R), U32)
+
+            # ---- INPUT ----------------------------------------------------
+            r_lo, r_hi = _recon_sum(t0_lo, t0_hi)
+            if mode == PROVER:
+                wv_lo = jnp.take(wz_lo, w["zwit"], axis=0)
+                wv_hi = jnp.take(wz_hi, w["zwit"], axis=0)
+                in_clo, in_chi = up.sub64(wv_lo, wv_hi, r_lo, r_hi)
+            elif mode == VERIFY_ONL:
+                in_clo = jnp.take(inz_lo, w["zinrec"], axis=0)
+                in_chi = jnp.take(inz_hi, w["zinrec"], axis=0)
+            else:
+                in_clo, in_chi = zero2, zero2
+
+            # ---- ADD / SUB / const families -------------------------------
+            addm_lo, addm_hi = up.add64(am_lo, am_hi, bm_lo, bm_hi)
+            subm_lo, subm_hi = up.sub64(am_lo, am_hi, bm_lo, bm_hi)
+            addc_lo, addc_hi = up.add64(ac_lo, ac_hi, bc_lo, bc_hi)
+            subc_lo, subc_hi = up.sub64(ac_lo, ac_hi, bc_lo, bc_hi)
+            addk_lo, addk_hi = up.add64(ac_lo, ac_hi, k_lo, k_hi)
+            subk_lo, subk_hi = up.sub64(ac_lo, ac_hi, k_lo, k_hi)
+            mulcm_lo, mulcm_hi = up.mul64(
+                am_lo, am_hi, k_lo[..., None], k_hi[..., None]
+            )
+            mulcc_lo, mulcc_hi = up.mul64(ac_lo, ac_hi, k_lo, k_hi)
+
+            # ---- MUL ------------------------------------------------------
+            ra_lo, ra_hi = _recon_sum(am_lo, am_hi)
+            rb_lo, rb_hi = _recon_sum(bm_lo, bm_hi)
+            rc_lo, rc_hi = _recon_sum(t0_lo, t0_hi)
+            if mode == VERIFY_ONL:
+                d_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
+                d_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
+            else:
+                p_lo, p_hi = up.mul64(ra_lo, ra_hi, rb_lo, rb_hi)
+                d_lo, d_hi = up.sub64(p_lo, p_hi, rc_lo, rc_hi)
+            s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[..., None], ac_hi[..., None])
+            s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[..., None], bc_hi[..., None])
+            s_lo, s_hi = up.add64(s1_lo, s1_hi, s2_lo, s2_hi)
+            s_lo, s_hi = up.add64(s_lo, s_hi, t0_lo, t0_hi)
+            s_lo, s_hi = up.sub64(s_lo, s_hi, t1_lo, t1_hi)
+            if mode == VERIFY_ONL:
+                rz_lo = jnp.take(rez_lo, w["zrec"], axis=0)
+                rz_hi = jnp.take(rez_hi, w["zrec"], axis=0)
+                s_lo, s_hi = up.add64(s_lo, s_hi, rz_lo, rz_hi)
+            if mode != VERIFY_PRE:
+                sr_lo, sr_hi = _recon_sum(s_lo, s_hi)
+                re_lo, re_hi = up.add64(sr_lo, sr_hi, d_lo, d_hi)
+            else:
+                re_lo, re_hi = zero2, zero2
+            pc_lo, pc_hi = up.mul64(ac_lo, ac_hi, bc_lo, bc_hi)
+            mulc2_lo, mulc2_hi = up.add64(re_lo, re_hi, pc_lo, pc_hi)
+
+            # ---- ASSERT ---------------------------------------------------
+            sa_lo, sa_hi = am_lo, am_hi
+            if mode == VERIFY_ONL:
+                sa_lo, sa_hi = up.add64(sa_lo, sa_hi, rz_lo, rz_hi)
+            if mode != VERIFY_PRE:
+                ar_lo, ar_hi = _recon_sum(sa_lo, sa_hi)
+                av_lo, av_hi = up.add64(ar_lo, ar_hi, ac_lo, ac_hi)
+                a_bad = jnp.any(
+                    ((av_lo | av_hi) != 0) & (op2 == G_ASSERT), axis=0
+                )
+                fail = fail | a_bad
+
+            # ---- B2A ------------------------------------------------------
+            bits_m = jnp.take(mask2, w["bbits"], axis=0)  # (Wz, 64, R) u8
+            bits_c = jnp.take(corr2, w["bbits"], axis=0)
+            # B2A_CORR: compose the 64 fresh mask bits -> r's mask correction
+            cb = _parity8(bits_m)
+            cv_lo, cv_hi = _compose_bits(cb)
+            if mode == VERIFY_ONL:
+                bcc_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
+                bcc_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
+            else:
+                bcc_lo, bcc_hi = up.sub64(cv_lo, cv_hi, r_lo, r_hi)
+            # B2A_OUT: 64 gf2 bit reconstructions -> z64 value
+            sb = bits_m
+            if mode == VERIFY_ONL:
+                sb = sb ^ jnp.take(re2, w["brec"], axis=0)
+            if mode != VERIFY_PRE:
+                ob = _parity8(sb) ^ bits_c
+            else:
+                ob = bits_c
+            ov_lo, ov_hi = _compose_bits(ob)
+            zr_mlo = jnp.take(mzlo, w["zzr"], axis=0)
+            zr_mhi = jnp.take(mzhi, w["zzr"], axis=0)
+            zr_clo = jnp.take(czlo, w["zzr"], axis=0)
+            zr_chi = jnp.take(czhi, w["zzr"], axis=0)
+            bout_mlo, bout_mhi = up.neg64(zr_mlo, zr_mhi)
+            bout_clo, bout_chi = up.sub64(ov_lo, ov_hi, zr_clo, zr_chi)
+
+            # ---- result selection ----------------------------------------
+            conds3 = [op3 == G_INPUT, op3 == G_ADD, op3 == Z_SUB,
+                      (op3 == G_ADDC) | (op3 == G_SUBC), op3 == G_MULC,
+                      op3 == G_MUL, op3 == G_RANDOM, op3 == B2A_CORR,
+                      op3 == B2A_OUT]
+            mask_new_lo = jnp.select(
+                conds3,
+                [t0_lo, addm_lo, subm_lo, am_lo, mulcm_lo, t1_lo, t0_lo,
+                 t0_lo, bout_mlo],
+                jnp.zeros_like(am_lo),
+            )
+            mask_new_hi = jnp.select(
+                conds3,
+                [t0_hi, addm_hi, subm_hi, am_hi, mulcm_hi, t1_hi, t0_hi,
+                 t0_hi, bout_mhi],
+                jnp.zeros_like(am_hi),
+            )
+            conds2 = [op2 == G_INPUT, op2 == G_ADD, op2 == Z_SUB,
+                      op2 == G_ADDC, op2 == G_SUBC, op2 == G_MULC,
+                      op2 == G_MUL, op2 == G_CONST, op2 == B2A_CORR,
+                      op2 == B2A_OUT]
+            corr_new_lo = jnp.select(
+                conds2,
+                [in_clo, addc_lo, subc_lo, addk_lo, subk_lo, mulcc_lo,
+                 mulc2_lo, k_lo, bcc_lo, bout_clo],
+                zero2,
+            )
+            corr_new_hi = jnp.select(
+                conds2,
+                [in_chi, addc_hi, subc_hi, addk_hi, subk_hi, mulcc_hi,
+                 mulc2_hi, k_hi, bcc_hi, bout_chi],
+                zero2,
+            )
+
+            # ---- scatters -------------------------------------------------
+            upd = jax.lax.optimization_barrier(
+                (mask_new_lo, mask_new_hi, corr_new_lo, corr_new_hi)
+            )
+            mzlo = mzlo.at[w["zdst"]].set(upd[0])
+            mzhi = mzhi.at[w["zdst"]].set(upd[1])
+            czlo = czlo.at[w["zdst"]].set(upd[2])
+            czhi = czhi.at[w["zdst"]].set(upd[3])
+
+            # prez events (8 bytes): MUL delta / B2A_CORR correction
+            pe_lo = jnp.where(op2 == B2A_CORR, bcc_lo, d_lo)
+            pe_hi = jnp.where(op2 == B2A_CORR, bcc_hi, d_hi)
+            pre8 = jnp.stack(up.le_bytes(pe_lo, pe_hi), axis=1)  # (Wz, 8, R)
+            pre8 = jax.lax.optimization_barrier(pre8)
+            prez = prez.at[w["zpre"].reshape(-1)].set(pre8.reshape(-1, R))
+
+            if mode != VERIFY_PRE:
+                # onlz events (64 rows): share bytes (MUL/ASSERT) or the
+                # 8-byte input correction (first 8 rows; rest go to trash)
+                se_lo = jnp.where(op3 == G_ASSERT, sa_lo, s_lo)
+                se_hi = jnp.where(op3 == G_ASSERT, sa_hi, s_hi)
+                sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=-1)  # (Wz,R,8p,8b)
+                sh64 = jnp.moveaxis(sh64, 1, -1).reshape(Wz, 64, R)
+                in8 = jnp.stack(up.le_bytes(in_clo, in_chi), axis=1)  # (Wz,8,R)
+                in64 = jnp.concatenate(
+                    [in8, jnp.zeros((Wz, 56, R), U8)], axis=1
+                )
+                val64 = jnp.where(op3 == G_INPUT, in64, sh64)
+                val64 = jax.lax.optimization_barrier(val64)
+                onlz = onlz.at[w["zonl"].reshape(-1)].set(val64.reshape(-1, R))
+                # B2A_OUT writes its 64 bit-reconstruction events into the
+                # GF2 online stream
+                sb_w = jnp.where(op3 == B2A_OUT, sb, jnp.zeros_like(sb))
+                sb_w = jax.lax.optimization_barrier(sb_w)
+                onl2 = onl2.at[w["bonl"].reshape(-1)].set(sb_w.reshape(-1, R))
+
+            return (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
+                    fail)
 
         def body(carry, w):
-            mask2, corr2, onl2, pre2, fail = carry
+            if has_z:
+                (mask2, corr2, onl2, pre2, fail,
+                 mzlo, mzhi, czlo, czhi, onlz, prez) = carry
+            else:
+                mask2, corr2, onl2, pre2, fail = carry
+            if has_z:
+                # z64 slots read the GF2 arenas (B2A) from the carry-in state:
+                # wave placement guarantees their GF2 dependencies come from
+                # strictly earlier waves
+                (mzlo, mzhi, czlo, czhi, onlz, prez,
+                 mask2_unused, corr2_unused, onl2, fail) = z64_slots(
+                    (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
+                     fail), w)
             op = w["op"][:, None]  # (W, 1)
             a_m = jnp.take(mask2, w["a"], axis=0)
             a_c = jnp.take(corr2, w["a"], axis=0)
@@ -179,8 +430,19 @@ class ScanExecutor:
             pre_val = jax.lax.optimization_barrier(_expand(delta))
             pre2 = pre2.at[w["pre"]].set(pre_val)
 
+            if has_z:
+                return (mask2, corr2, onl2, pre2, fail,
+                        mzlo, mzhi, czlo, czhi, onlz, prez), None
             return (mask2, corr2, onl2, pre2, fail), None
 
+        if has_z:
+            carry = (mask2, corr2, onl2, pre2, fail,
+                     mzlo, mzhi, czlo, czhi, onlz, prez)
+            (mask2, corr2, onl2, pre2, fail,
+             mzlo, mzhi, czlo, czhi, onlz, prez), _ = jax.lax.scan(
+                body, carry, xs)
+            return {"onl2": onl2[:-1], "pre2": pre2[:-1],
+                    "onlz": onlz[:-1], "prez": prez[:-1], "fail": fail}
         carry = (mask2, corr2, onl2, pre2, fail)
         (mask2, corr2, onl2, pre2, fail), _ = jax.lax.scan(body, carry, xs)
         return {"onl2": onl2[:-1], "pre2": pre2[:-1], "fail": fail}

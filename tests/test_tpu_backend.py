@@ -202,3 +202,59 @@ def test_mesh_sharded_prove_batch_matches():
     for b, sh in zip(base, sharded):
         assert sh.to_bytes() == b.to_bytes()
         assert sharded_sys.verify(sh)
+
+
+def _deep_b2a_mixed_circuit(chain: int = 200):
+    """mixed_b2a_circuit plus a deep GF2 MUL chain: forces the scan executor
+    onto a circuit with z64 + B2A + gf2 ops in all three roles."""
+    prog, wit2, witz = mixed_b2a_circuit()
+    prog = list(prog[:-1])  # drop trailing deep-mul tail position independent
+    for _ in range(chain):
+        prog.append(CombineOp.gf2(Gate(Op.MUL, dst=2, src1=2, src2=3)))
+    return prog, wit2, witz
+
+
+def test_scan_executor_deep_z64_circuit():
+    """Deep z64 circuits route through the scan executor (round-2c: the scan
+    body computes every z64 gate family + opcode-select); proof bytes must
+    match the golden backend and verification must accept."""
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+
+    # serial chain: every MUL reads the previous result -> depth ~n
+    prog = [
+        CombineOp.z64(Gate(Op.INPUT, dst=0)),
+        CombineOp.z64(Gate(Op.INPUT, dst=1)),
+    ]
+    for _ in range(150):
+        prog.append(CombineOp.z64(Gate(Op.MUL, dst=1, src1=0, src2=1)))
+    prog.extend([
+        CombineOp.z64(Gate(Op.ADDC, dst=2, src1=1, const=5)),
+        CombineOp.z64(Gate(Op.SUB, dst=3, src1=2, src2=2)),
+        CombineOp.z64(Gate(Op.ASSERT_ZERO, src1=3)),
+    ])
+    wit2, witz = [], [3, 5]
+    s = seeds256()
+    sys_ = TpuKKW(prog)
+    assert sys_.cc.depth > TpuKKW.SCAN_DEPTH_THRESHOLD
+    assert isinstance(sys_._executor(0, 256), ScanExecutor)
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
+
+
+def test_scan_executor_deep_b2a_circuit():
+    """Deep mixed GF2+Z64+B2A circuit through the scan executor: B2A slots
+    bridge the domains inside the scan body (bit gathers from the GF2 arena,
+    64 bit-recon events into the GF2 online stream)."""
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+
+    prog, wit2, witz = _deep_b2a_mixed_circuit(200)
+    s = seeds256()
+    sys_ = TpuKKW(prog)
+    assert sys_.cc.depth > TpuKKW.SCAN_DEPTH_THRESHOLD
+    assert isinstance(sys_._executor(0, 256), ScanExecutor)
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
