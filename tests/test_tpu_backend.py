@@ -258,3 +258,18 @@ def test_scan_executor_deep_b2a_circuit():
     tpu_proof = sys_.prove(wit2, witz, seeds=s)
     assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(tpu_proof)
+
+
+def test_mesh_sharded_scan_z64_prove_matches():
+    """Deep z64+B2A circuit through the scan executor under an 8-device
+    mesh: rep-axis sharding must not change proof bytes (the z64 event
+    scatters and B2A cross-domain gathers ride the sharded lane axis)."""
+    from reverie_tpu.parallel import make_mesh
+
+    prog, wit2, witz = _deep_b2a_mixed_circuit(150)
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    sharded = TpuKKW(prog, mesh=make_mesh(8))
+    proof = sharded.prove(wit2, witz, seeds=s)
+    assert proof.to_bytes() == base.to_bytes()
+    assert sharded.verify(proof)
