@@ -128,16 +128,26 @@ class StreamingKKW:
         self._use_device_tape = None
 
     # ------------------------------------------------------------------
+    #: per-segment depth beyond which segments use the lax.scan executor
+    #: (deep beyond-HBM circuits: unrolled per-level compile would explode)
+    SCAN_DEPTH_THRESHOLD = 128
+
     def _executor(self, s: int, mode: int, R: int) -> Executor:
         key = (s, mode, R)
         if key not in self._executors:
             seg = self.segments[s]
-            self._executors[key] = Executor(
-                seg.cc, mode, total_reps=R, mesh=self.mesh,
+            kw = dict(
+                total_reps=R, mesh=self.mesh,
                 carry_in=len(seg.carry_in), carry_out_vals=seg.carry_out_vals,
                 carry_inz=len(seg.carry_inz),
                 carry_outz_vals=seg.carry_outz_vals,
             )
+            if seg.cc.depth > self.SCAN_DEPTH_THRESHOLD:
+                from .tpu_scan import ScanExecutor
+
+                self._executors[key] = ScanExecutor(seg.cc, mode, **kw)
+            else:
+                self._executors[key] = Executor(seg.cc, mode, **kw)
         return self._executors[key]
 
     def _tape2_window(self, s: int, rkp, mask, player_keys,

@@ -18,7 +18,8 @@ compile as one scan body too, instead of one op sequence per level
 
 from __future__ import annotations
 
-from typing import Dict
+import functools
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -56,11 +57,47 @@ U8 = jnp.uint8
 U32 = jnp.uint32
 
 
+class _Cfg(NamedTuple):
+    """Static trace configuration: two segments with equal _Cfg + equal wave
+    table shapes share one traced/jitted callable (streaming proves hundreds
+    of uniform segments; per-instance jits would trace each one)."""
+
+    mode: int
+    R: int
+    n_vals2: int
+    n_valsz: int
+    onl2: int
+    pre2: int
+    onlz: int
+    prez: int
+    has_z: bool
+    carry_in: int
+    carry_inz: int
+    carry_out: bool
+    carry_outz: bool
+
+
+_TRACE_FNS: Dict[_Cfg, object] = {}
+
+
+def _jitted(cfg: _Cfg):
+    if cfg not in _TRACE_FNS:
+        _TRACE_FNS[cfg] = jax.jit(functools.partial(_scan_trace, cfg))
+    return _TRACE_FNS[cfg]
+
+
 class ScanExecutor:
-    """Jitted scan-mode executor for one compiled circuit in one role."""
+    """Jitted scan-mode executor for one compiled circuit in one role.
+
+    carry_in/carry_out_vals (+ z64 twins): streaming-segment wire carry with
+    the same contract as the unrolled Executor -- GF2 arena rows 1..k
+    initialize from inputs carry_mask2/carry_corr2; outputs gain
+    carry_mask2/carry_corr2 gathered at carry_out_vals."""
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
-                 wave_width: int = 0, mesh=None):
+                 wave_width: int = 0, mesh=None, carry_in: int = 0,
+                 carry_out_vals=None, carry_inz: int = 0,
+                 carry_outz_vals=None):
         self.cc = cc
         self.mode = mode
         self.R = total_reps
@@ -85,364 +122,416 @@ class ScanExecutor:
                      "zinrec", "zrec", "zcorr", "zzr", "zclo", "zchi",
                      "zonl", "zpre", "bbits", "brec", "bonl"]
         xs_host = {k: np.asarray(getattr(self.waves, k)) for k in cols}
+        couts_host = {}
+        if carry_out_vals is not None and len(carry_out_vals):
+            couts_host["carry_out_vals"] = np.asarray(carry_out_vals, np.int32)
+        if carry_outz_vals is not None and len(carry_outz_vals):
+            couts_host["carry_outz_vals"] = np.asarray(carry_outz_vals, np.int32)
         if mesh is not None:
             # wave tables replicate across the mesh; the rep axis of the
             # inputs/carry is sharded (parallel/mesh.py) and propagates
             # through the scan (all ops are elementwise or axis-0 gathers)
             from jax.sharding import NamedSharding, PartitionSpec
 
-            self.xs = jax.device_put(xs_host, NamedSharding(mesh, PartitionSpec()))
+            repl = NamedSharding(mesh, PartitionSpec())
+            self.xs = jax.device_put(xs_host, repl)
+            self.couts = jax.device_put(couts_host, repl)
         else:
             self.xs = jax.device_put(xs_host)
-        self._run = jax.jit(self._trace)
+            self.couts = jax.device_put(couts_host)
+        self.cfg = _Cfg(
+            mode=mode, R=total_reps, n_vals2=cc.n_vals2, n_valsz=cc.n_valsz,
+            onl2=cc.onl2, pre2=cc.pre2, onlz=cc.onlz, prez=cc.prez,
+            has_z=self.waves.has_z64, carry_in=carry_in, carry_inz=carry_inz,
+            carry_out="carry_out_vals" in couts_host,
+            carry_outz="carry_outz_vals" in couts_host,
+        )
+        self._run = _jitted(self.cfg)
 
     def __call__(self, inputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        out = self._run(dict(inputs), self.xs)
+        out = self._run(dict(inputs), self.xs, self.couts)
         R = self.R
         # present the same output dict as the unrolled executor
-        return {
+        res = {
             "onl2": out["onl2"],
             "pre2": out["pre2"],
             "onlz": out.get("onlz", jnp.zeros((1, R), U8)),
             "prez": out.get("prez", jnp.zeros((1, R), U8)),
             "fail": out["fail"],
         }
+        for k in ("carry_mask2", "carry_corr2", "carry_mzlo", "carry_mzhi",
+                  "carry_czlo", "carry_czhi"):
+            if k in out:
+                res[k] = out[k]
+        return res
 
-    def _trace(self, inp, xs):
-        cc, mode, R = self.cc, self.mode, self.R
-        has_z = self.waves.has_z64
 
-        mask2 = jnp.zeros((cc.n_vals2 + 1, R), U8)  # +1 trash row
-        corr2 = jnp.zeros((cc.n_vals2 + 1, R), U8)
-        onl2 = jnp.zeros((cc.onl2 + 1, R), U8)
-        pre2 = jnp.zeros((cc.pre2 + 1, R), U8)
-        fail = jnp.zeros((R,), jnp.bool_)
+def _scan_trace(cfg: _Cfg, inp, xs, couts):
+    mode, R, has_z = cfg.mode, cfg.R, cfg.has_z
 
-        def pad0(v, shape, dtype=U8):
-            # a z64-only circuit leaves gf2-side arrays empty; gathers with
-            # (ignored) index 0 still need one row
-            if v is None or v.shape[0] == 0:
-                return jnp.zeros(shape, dtype)
-            return v
+    if cfg.carry_in:
+        k = cfg.carry_in
+        zrest = jnp.zeros((cfg.n_vals2 - 1 - k + 1, R), U8)  # tail + trash row
+        z1 = jnp.zeros((1, R), U8)
+        mask2 = jnp.concatenate([z1, inp["carry_mask2"], zrest], axis=0)
+        corr2 = jnp.concatenate([z1, inp["carry_corr2"], zrest], axis=0)
+    else:
+        mask2 = jnp.zeros((cfg.n_vals2 + 1, R), U8)  # +1 trash row
+        corr2 = jnp.zeros((cfg.n_vals2 + 1, R), U8)
+    onl2 = jnp.zeros((cfg.onl2 + 1, R), U8)
+    pre2 = jnp.zeros((cfg.pre2 + 1, R), U8)
+    fail = jnp.zeros((R,), jnp.bool_)
 
-        tape2 = pad0(inp["tape2"], (1, R))
-        wit2 = pad0(inp.get("wit2"), (1, R))
-        in2 = pad0(inp.get("in2"), (1, R))
-        co2 = pad0(inp.get("co2"), (1, R))
-        re2 = pad0(inp.get("re2"), (1, R))
+    def pad0(v, shape, dtype=U8):
+        # a z64-only circuit leaves gf2-side arrays empty; gathers with
+        # (ignored) index 0 still need one row
+        if v is None or v.shape[0] == 0:
+            return jnp.zeros(shape, dtype)
+        return v
 
-        if has_z:
-            Vz = cc.n_valsz
+    tape2 = pad0(inp["tape2"], (1, R))
+    wit2 = pad0(inp.get("wit2"), (1, R))
+    in2 = pad0(inp.get("in2"), (1, R))
+    co2 = pad0(inp.get("co2"), (1, R))
+    re2 = pad0(inp.get("re2"), (1, R))
+
+    # z64 arenas are also needed (untouched by the scan) when a segment only
+    # passes z64 carry wires through without executing any z64 op
+    if has_z or cfg.carry_inz or cfg.carry_outz:
+        Vz = cfg.n_valsz
+        if cfg.carry_inz:
+            kz = cfg.carry_inz
+            zm1 = jnp.zeros((1, R, 8), U32)
+            zmr = jnp.zeros((Vz - 1 - kz + 1, R, 8), U32)
+            zc1 = jnp.zeros((1, R), U32)
+            zcr = jnp.zeros((Vz - 1 - kz + 1, R), U32)
+            mzlo = jnp.concatenate([zm1, inp["carry_mzlo"], zmr], axis=0)
+            mzhi = jnp.concatenate([zm1, inp["carry_mzhi"], zmr], axis=0)
+            czlo = jnp.concatenate([zc1, inp["carry_czlo"], zcr], axis=0)
+            czhi = jnp.concatenate([zc1, inp["carry_czhi"], zcr], axis=0)
+        else:
             mzlo = jnp.zeros((Vz + 1, R, 8), U32)
             mzhi = jnp.zeros((Vz + 1, R, 8), U32)
             czlo = jnp.zeros((Vz + 1, R), U32)
             czhi = jnp.zeros((Vz + 1, R), U32)
-            onlz = jnp.zeros((cc.onlz + 1, R), U8)
-            prez = jnp.zeros((cc.prez + 1, R), U8)
+        onlz = jnp.zeros((cfg.onlz + 1, R), U8)
+        prez = jnp.zeros((cfg.prez + 1, R), U8)
 
-            def zpad(name, shape, dtype=U32):
-                v = inp.get(name)
-                if v is None or v.shape[0] == 0:
-                    return jnp.zeros(shape, dtype)
-                return v
+        def zpad(name, shape, dtype=U32):
+            v = inp.get(name)
+            if v is None or v.shape[0] == 0:
+                return jnp.zeros(shape, dtype)
+            return v
 
-            tz_lo = zpad("tapez_lo", (1, R, 8))
-            tz_hi = zpad("tapez_hi", (1, R, 8))
-            wz_lo = zpad("witz_lo", (1, R))
-            wz_hi = zpad("witz_hi", (1, R))
-            inz_lo = zpad("inz_lo", (1, R))
-            inz_hi = zpad("inz_hi", (1, R))
-            coz_lo = zpad("coz_lo", (1, R))
-            coz_hi = zpad("coz_hi", (1, R))
-            rez_lo = zpad("rez_lo", (1, R, 8))
-            rez_hi = zpad("rez_hi", (1, R, 8))
+        tz_lo = zpad("tapez_lo", (1, R, 8))
+        tz_hi = zpad("tapez_hi", (1, R, 8))
+        wz_lo = zpad("witz_lo", (1, R))
+        wz_hi = zpad("witz_hi", (1, R))
+        inz_lo = zpad("inz_lo", (1, R))
+        inz_hi = zpad("inz_hi", (1, R))
+        coz_lo = zpad("coz_lo", (1, R))
+        coz_hi = zpad("coz_hi", (1, R))
+        rez_lo = zpad("rez_lo", (1, R, 8))
+        rez_hi = zpad("rez_hi", (1, R, 8))
 
-        def z64_slots(zst, w):
-            """Compute one wave's Wz z64 slots: every family, opcode-select."""
-            mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2, fail = zst
-            zop = w["zop"]
-            op2 = zop[:, None]  # (Wz, 1) -> (Wz, R) selects
-            op3 = zop[:, None, None]  # (Wz, R, 8) / (Wz, 64, R) selects
-            Wz = zop.shape[0]
+    def z64_slots(zst, w):
+        """Compute one wave's Wz z64 slots: every family, opcode-select."""
+        mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2, fail = zst
+        zop = w["zop"]
+        op2 = zop[:, None]  # (Wz, 1) -> (Wz, R) selects
+        op3 = zop[:, None, None]  # (Wz, R, 8) / (Wz, 64, R) selects
+        Wz = zop.shape[0]
 
-            am_lo = jnp.take(mzlo, w["za"], axis=0)  # (Wz, R, 8)
-            am_hi = jnp.take(mzhi, w["za"], axis=0)
-            bm_lo = jnp.take(mzlo, w["zb"], axis=0)
-            bm_hi = jnp.take(mzhi, w["zb"], axis=0)
-            ac_lo = jnp.take(czlo, w["za"], axis=0)  # (Wz, R)
-            ac_hi = jnp.take(czhi, w["za"], axis=0)
-            bc_lo = jnp.take(czlo, w["zb"], axis=0)
-            bc_hi = jnp.take(czhi, w["zb"], axis=0)
-            t0_lo = jnp.take(tz_lo, w["zt0"], axis=0)  # (Wz, R, 8)
-            t0_hi = jnp.take(tz_hi, w["zt0"], axis=0)
-            t1_lo = jnp.take(tz_lo, w["zt1"], axis=0)
-            t1_hi = jnp.take(tz_hi, w["zt1"], axis=0)
-            k_lo = jnp.broadcast_to(w["zclo"][:, None], (Wz, R))
-            k_hi = jnp.broadcast_to(w["zchi"][:, None], (Wz, R))
-            zero2 = jnp.zeros((Wz, R), U32)
+        am_lo = jnp.take(mzlo, w["za"], axis=0)  # (Wz, R, 8)
+        am_hi = jnp.take(mzhi, w["za"], axis=0)
+        bm_lo = jnp.take(mzlo, w["zb"], axis=0)
+        bm_hi = jnp.take(mzhi, w["zb"], axis=0)
+        ac_lo = jnp.take(czlo, w["za"], axis=0)  # (Wz, R)
+        ac_hi = jnp.take(czhi, w["za"], axis=0)
+        bc_lo = jnp.take(czlo, w["zb"], axis=0)
+        bc_hi = jnp.take(czhi, w["zb"], axis=0)
+        t0_lo = jnp.take(tz_lo, w["zt0"], axis=0)  # (Wz, R, 8)
+        t0_hi = jnp.take(tz_hi, w["zt0"], axis=0)
+        t1_lo = jnp.take(tz_lo, w["zt1"], axis=0)
+        t1_hi = jnp.take(tz_hi, w["zt1"], axis=0)
+        k_lo = jnp.broadcast_to(w["zclo"][:, None], (Wz, R))
+        k_hi = jnp.broadcast_to(w["zchi"][:, None], (Wz, R))
+        zero2 = jnp.zeros((Wz, R), U32)
 
-            # ---- INPUT ----------------------------------------------------
-            r_lo, r_hi = _recon_sum(t0_lo, t0_hi)
-            if mode == PROVER:
-                wv_lo = jnp.take(wz_lo, w["zwit"], axis=0)
-                wv_hi = jnp.take(wz_hi, w["zwit"], axis=0)
-                in_clo, in_chi = up.sub64(wv_lo, wv_hi, r_lo, r_hi)
-            elif mode == VERIFY_ONL:
-                in_clo = jnp.take(inz_lo, w["zinrec"], axis=0)
-                in_chi = jnp.take(inz_hi, w["zinrec"], axis=0)
-            else:
-                in_clo, in_chi = zero2, zero2
+        # ---- INPUT ----------------------------------------------------
+        r_lo, r_hi = _recon_sum(t0_lo, t0_hi)
+        if mode == PROVER:
+            wv_lo = jnp.take(wz_lo, w["zwit"], axis=0)
+            wv_hi = jnp.take(wz_hi, w["zwit"], axis=0)
+            in_clo, in_chi = up.sub64(wv_lo, wv_hi, r_lo, r_hi)
+        elif mode == VERIFY_ONL:
+            in_clo = jnp.take(inz_lo, w["zinrec"], axis=0)
+            in_chi = jnp.take(inz_hi, w["zinrec"], axis=0)
+        else:
+            in_clo, in_chi = zero2, zero2
 
-            # ---- ADD / SUB / const families -------------------------------
-            addm_lo, addm_hi = up.add64(am_lo, am_hi, bm_lo, bm_hi)
-            subm_lo, subm_hi = up.sub64(am_lo, am_hi, bm_lo, bm_hi)
-            addc_lo, addc_hi = up.add64(ac_lo, ac_hi, bc_lo, bc_hi)
-            subc_lo, subc_hi = up.sub64(ac_lo, ac_hi, bc_lo, bc_hi)
-            addk_lo, addk_hi = up.add64(ac_lo, ac_hi, k_lo, k_hi)
-            subk_lo, subk_hi = up.sub64(ac_lo, ac_hi, k_lo, k_hi)
-            mulcm_lo, mulcm_hi = up.mul64(
-                am_lo, am_hi, k_lo[..., None], k_hi[..., None]
+        # ---- ADD / SUB / const families -------------------------------
+        addm_lo, addm_hi = up.add64(am_lo, am_hi, bm_lo, bm_hi)
+        subm_lo, subm_hi = up.sub64(am_lo, am_hi, bm_lo, bm_hi)
+        addc_lo, addc_hi = up.add64(ac_lo, ac_hi, bc_lo, bc_hi)
+        subc_lo, subc_hi = up.sub64(ac_lo, ac_hi, bc_lo, bc_hi)
+        addk_lo, addk_hi = up.add64(ac_lo, ac_hi, k_lo, k_hi)
+        subk_lo, subk_hi = up.sub64(ac_lo, ac_hi, k_lo, k_hi)
+        mulcm_lo, mulcm_hi = up.mul64(
+            am_lo, am_hi, k_lo[..., None], k_hi[..., None]
+        )
+        mulcc_lo, mulcc_hi = up.mul64(ac_lo, ac_hi, k_lo, k_hi)
+
+        # ---- MUL ------------------------------------------------------
+        ra_lo, ra_hi = _recon_sum(am_lo, am_hi)
+        rb_lo, rb_hi = _recon_sum(bm_lo, bm_hi)
+        rc_lo, rc_hi = _recon_sum(t0_lo, t0_hi)
+        if mode == VERIFY_ONL:
+            d_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
+            d_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
+        else:
+            p_lo, p_hi = up.mul64(ra_lo, ra_hi, rb_lo, rb_hi)
+            d_lo, d_hi = up.sub64(p_lo, p_hi, rc_lo, rc_hi)
+        s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[..., None], ac_hi[..., None])
+        s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[..., None], bc_hi[..., None])
+        s_lo, s_hi = up.add64(s1_lo, s1_hi, s2_lo, s2_hi)
+        s_lo, s_hi = up.add64(s_lo, s_hi, t0_lo, t0_hi)
+        s_lo, s_hi = up.sub64(s_lo, s_hi, t1_lo, t1_hi)
+        if mode == VERIFY_ONL:
+            rz_lo = jnp.take(rez_lo, w["zrec"], axis=0)
+            rz_hi = jnp.take(rez_hi, w["zrec"], axis=0)
+            s_lo, s_hi = up.add64(s_lo, s_hi, rz_lo, rz_hi)
+        if mode != VERIFY_PRE:
+            sr_lo, sr_hi = _recon_sum(s_lo, s_hi)
+            re_lo, re_hi = up.add64(sr_lo, sr_hi, d_lo, d_hi)
+        else:
+            re_lo, re_hi = zero2, zero2
+        pc_lo, pc_hi = up.mul64(ac_lo, ac_hi, bc_lo, bc_hi)
+        mulc2_lo, mulc2_hi = up.add64(re_lo, re_hi, pc_lo, pc_hi)
+
+        # ---- ASSERT ---------------------------------------------------
+        sa_lo, sa_hi = am_lo, am_hi
+        if mode == VERIFY_ONL:
+            sa_lo, sa_hi = up.add64(sa_lo, sa_hi, rz_lo, rz_hi)
+        if mode != VERIFY_PRE:
+            ar_lo, ar_hi = _recon_sum(sa_lo, sa_hi)
+            av_lo, av_hi = up.add64(ar_lo, ar_hi, ac_lo, ac_hi)
+            a_bad = jnp.any(
+                ((av_lo | av_hi) != 0) & (op2 == G_ASSERT), axis=0
             )
-            mulcc_lo, mulcc_hi = up.mul64(ac_lo, ac_hi, k_lo, k_hi)
+            fail = fail | a_bad
 
-            # ---- MUL ------------------------------------------------------
-            ra_lo, ra_hi = _recon_sum(am_lo, am_hi)
-            rb_lo, rb_hi = _recon_sum(bm_lo, bm_hi)
-            rc_lo, rc_hi = _recon_sum(t0_lo, t0_hi)
-            if mode == VERIFY_ONL:
-                d_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
-                d_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
-            else:
-                p_lo, p_hi = up.mul64(ra_lo, ra_hi, rb_lo, rb_hi)
-                d_lo, d_hi = up.sub64(p_lo, p_hi, rc_lo, rc_hi)
-            s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[..., None], ac_hi[..., None])
-            s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[..., None], bc_hi[..., None])
-            s_lo, s_hi = up.add64(s1_lo, s1_hi, s2_lo, s2_hi)
-            s_lo, s_hi = up.add64(s_lo, s_hi, t0_lo, t0_hi)
-            s_lo, s_hi = up.sub64(s_lo, s_hi, t1_lo, t1_hi)
-            if mode == VERIFY_ONL:
-                rz_lo = jnp.take(rez_lo, w["zrec"], axis=0)
-                rz_hi = jnp.take(rez_hi, w["zrec"], axis=0)
-                s_lo, s_hi = up.add64(s_lo, s_hi, rz_lo, rz_hi)
-            if mode != VERIFY_PRE:
-                sr_lo, sr_hi = _recon_sum(s_lo, s_hi)
-                re_lo, re_hi = up.add64(sr_lo, sr_hi, d_lo, d_hi)
-            else:
-                re_lo, re_hi = zero2, zero2
-            pc_lo, pc_hi = up.mul64(ac_lo, ac_hi, bc_lo, bc_hi)
-            mulc2_lo, mulc2_hi = up.add64(re_lo, re_hi, pc_lo, pc_hi)
+        # ---- B2A ------------------------------------------------------
+        bits_m = jnp.take(mask2, w["bbits"], axis=0)  # (Wz, 64, R) u8
+        bits_c = jnp.take(corr2, w["bbits"], axis=0)
+        # B2A_CORR: compose the 64 fresh mask bits -> r's mask correction
+        cb = _parity8(bits_m)
+        cv_lo, cv_hi = _compose_bits(cb)
+        if mode == VERIFY_ONL:
+            bcc_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
+            bcc_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
+        else:
+            bcc_lo, bcc_hi = up.sub64(cv_lo, cv_hi, r_lo, r_hi)
+        # B2A_OUT: 64 gf2 bit reconstructions -> z64 value
+        sb = bits_m
+        if mode == VERIFY_ONL:
+            sb = sb ^ jnp.take(re2, w["brec"], axis=0)
+        if mode != VERIFY_PRE:
+            ob = _parity8(sb) ^ bits_c
+        else:
+            ob = bits_c
+        ov_lo, ov_hi = _compose_bits(ob)
+        zr_mlo = jnp.take(mzlo, w["zzr"], axis=0)
+        zr_mhi = jnp.take(mzhi, w["zzr"], axis=0)
+        zr_clo = jnp.take(czlo, w["zzr"], axis=0)
+        zr_chi = jnp.take(czhi, w["zzr"], axis=0)
+        bout_mlo, bout_mhi = up.neg64(zr_mlo, zr_mhi)
+        bout_clo, bout_chi = up.sub64(ov_lo, ov_hi, zr_clo, zr_chi)
 
-            # ---- ASSERT ---------------------------------------------------
-            sa_lo, sa_hi = am_lo, am_hi
-            if mode == VERIFY_ONL:
-                sa_lo, sa_hi = up.add64(sa_lo, sa_hi, rz_lo, rz_hi)
-            if mode != VERIFY_PRE:
-                ar_lo, ar_hi = _recon_sum(sa_lo, sa_hi)
-                av_lo, av_hi = up.add64(ar_lo, ar_hi, ac_lo, ac_hi)
-                a_bad = jnp.any(
-                    ((av_lo | av_hi) != 0) & (op2 == G_ASSERT), axis=0
-                )
-                fail = fail | a_bad
+        # ---- result selection ----------------------------------------
+        conds3 = [op3 == G_INPUT, op3 == G_ADD, op3 == Z_SUB,
+                  (op3 == G_ADDC) | (op3 == G_SUBC), op3 == G_MULC,
+                  op3 == G_MUL, op3 == G_RANDOM, op3 == B2A_CORR,
+                  op3 == B2A_OUT]
+        mask_new_lo = jnp.select(
+            conds3,
+            [t0_lo, addm_lo, subm_lo, am_lo, mulcm_lo, t1_lo, t0_lo,
+             t0_lo, bout_mlo],
+            jnp.zeros_like(am_lo),
+        )
+        mask_new_hi = jnp.select(
+            conds3,
+            [t0_hi, addm_hi, subm_hi, am_hi, mulcm_hi, t1_hi, t0_hi,
+             t0_hi, bout_mhi],
+            jnp.zeros_like(am_hi),
+        )
+        conds2 = [op2 == G_INPUT, op2 == G_ADD, op2 == Z_SUB,
+                  op2 == G_ADDC, op2 == G_SUBC, op2 == G_MULC,
+                  op2 == G_MUL, op2 == G_CONST, op2 == B2A_CORR,
+                  op2 == B2A_OUT]
+        corr_new_lo = jnp.select(
+            conds2,
+            [in_clo, addc_lo, subc_lo, addk_lo, subk_lo, mulcc_lo,
+             mulc2_lo, k_lo, bcc_lo, bout_clo],
+            zero2,
+        )
+        corr_new_hi = jnp.select(
+            conds2,
+            [in_chi, addc_hi, subc_hi, addk_hi, subk_hi, mulcc_hi,
+             mulc2_hi, k_hi, bcc_hi, bout_chi],
+            zero2,
+        )
 
-            # ---- B2A ------------------------------------------------------
-            bits_m = jnp.take(mask2, w["bbits"], axis=0)  # (Wz, 64, R) u8
-            bits_c = jnp.take(corr2, w["bbits"], axis=0)
-            # B2A_CORR: compose the 64 fresh mask bits -> r's mask correction
-            cb = _parity8(bits_m)
-            cv_lo, cv_hi = _compose_bits(cb)
-            if mode == VERIFY_ONL:
-                bcc_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
-                bcc_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
-            else:
-                bcc_lo, bcc_hi = up.sub64(cv_lo, cv_hi, r_lo, r_hi)
-            # B2A_OUT: 64 gf2 bit reconstructions -> z64 value
-            sb = bits_m
-            if mode == VERIFY_ONL:
-                sb = sb ^ jnp.take(re2, w["brec"], axis=0)
-            if mode != VERIFY_PRE:
-                ob = _parity8(sb) ^ bits_c
-            else:
-                ob = bits_c
-            ov_lo, ov_hi = _compose_bits(ob)
-            zr_mlo = jnp.take(mzlo, w["zzr"], axis=0)
-            zr_mhi = jnp.take(mzhi, w["zzr"], axis=0)
-            zr_clo = jnp.take(czlo, w["zzr"], axis=0)
-            zr_chi = jnp.take(czhi, w["zzr"], axis=0)
-            bout_mlo, bout_mhi = up.neg64(zr_mlo, zr_mhi)
-            bout_clo, bout_chi = up.sub64(ov_lo, ov_hi, zr_clo, zr_chi)
+        # ---- scatters -------------------------------------------------
+        upd = jax.lax.optimization_barrier(
+            (mask_new_lo, mask_new_hi, corr_new_lo, corr_new_hi)
+        )
+        mzlo = mzlo.at[w["zdst"]].set(upd[0])
+        mzhi = mzhi.at[w["zdst"]].set(upd[1])
+        czlo = czlo.at[w["zdst"]].set(upd[2])
+        czhi = czhi.at[w["zdst"]].set(upd[3])
 
-            # ---- result selection ----------------------------------------
-            conds3 = [op3 == G_INPUT, op3 == G_ADD, op3 == Z_SUB,
-                      (op3 == G_ADDC) | (op3 == G_SUBC), op3 == G_MULC,
-                      op3 == G_MUL, op3 == G_RANDOM, op3 == B2A_CORR,
-                      op3 == B2A_OUT]
-            mask_new_lo = jnp.select(
-                conds3,
-                [t0_lo, addm_lo, subm_lo, am_lo, mulcm_lo, t1_lo, t0_lo,
-                 t0_lo, bout_mlo],
-                jnp.zeros_like(am_lo),
+        # prez events (8 bytes): MUL delta / B2A_CORR correction
+        pe_lo = jnp.where(op2 == B2A_CORR, bcc_lo, d_lo)
+        pe_hi = jnp.where(op2 == B2A_CORR, bcc_hi, d_hi)
+        pre8 = jnp.stack(up.le_bytes(pe_lo, pe_hi), axis=1)  # (Wz, 8, R)
+        pre8 = jax.lax.optimization_barrier(pre8)
+        prez = prez.at[w["zpre"].reshape(-1)].set(pre8.reshape(-1, R))
+
+        if mode != VERIFY_PRE:
+            # onlz events (64 rows): share bytes (MUL/ASSERT) or the
+            # 8-byte input correction (first 8 rows; rest go to trash)
+            se_lo = jnp.where(op3 == G_ASSERT, sa_lo, s_lo)
+            se_hi = jnp.where(op3 == G_ASSERT, sa_hi, s_hi)
+            sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=-1)  # (Wz,R,8p,8b)
+            sh64 = jnp.moveaxis(sh64, 1, -1).reshape(Wz, 64, R)
+            in8 = jnp.stack(up.le_bytes(in_clo, in_chi), axis=1)  # (Wz,8,R)
+            in64 = jnp.concatenate(
+                [in8, jnp.zeros((Wz, 56, R), U8)], axis=1
             )
-            mask_new_hi = jnp.select(
-                conds3,
-                [t0_hi, addm_hi, subm_hi, am_hi, mulcm_hi, t1_hi, t0_hi,
-                 t0_hi, bout_mhi],
-                jnp.zeros_like(am_hi),
+            val64 = jnp.where(op3 == G_INPUT, in64, sh64)
+            val64 = jax.lax.optimization_barrier(val64)
+            onlz = onlz.at[w["zonl"].reshape(-1)].set(val64.reshape(-1, R))
+            # B2A_OUT writes its 64 bit-reconstruction events into the
+            # GF2 online stream
+            sb_w = jnp.where(op3 == B2A_OUT, sb, jnp.zeros_like(sb))
+            sb_w = jax.lax.optimization_barrier(sb_w)
+            onl2 = onl2.at[w["bonl"].reshape(-1)].set(sb_w.reshape(-1, R))
+
+        return (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
+                fail)
+
+    def body(carry, w):
+        if has_z:
+            (mask2, corr2, onl2, pre2, fail,
+             mzlo, mzhi, czlo, czhi, onlz, prez) = carry
+        else:
+            mask2, corr2, onl2, pre2, fail = carry
+        if has_z:
+            # z64 slots read the GF2 arenas (B2A) from the carry-in state:
+            # wave placement guarantees their GF2 dependencies come from
+            # strictly earlier waves
+            (mzlo, mzhi, czlo, czhi, onlz, prez,
+             mask2_unused, corr2_unused, onl2, fail) = z64_slots(
+                (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
+                 fail), w)
+        op = w["op"][:, None]  # (W, 1)
+        a_m = jnp.take(mask2, w["a"], axis=0)
+        a_c = jnp.take(corr2, w["a"], axis=0)
+        b_m = jnp.take(mask2, w["b"], axis=0)
+        b_c = jnp.take(corr2, w["b"], axis=0)
+        t0 = jnp.take(tape2, w["t0"], axis=0)
+        t1 = jnp.take(tape2, w["t1"], axis=0)
+        cbit = w["cbit"].astype(U8)[:, None]
+
+        # ---- MUL family -----------------------------------------------
+        if mode == VERIFY_ONL:
+            delta = jnp.take(co2, w["corr"], axis=0)
+        else:
+            delta = (_parity8(a_m) & _parity8(b_m)) ^ _parity8(t0)
+        s = (b_m & _expand(a_c)) ^ (a_m & _expand(b_c)) ^ t0 ^ t1
+        if mode == VERIFY_ONL:
+            msg = jnp.take(re2, w["rec"], axis=0)
+            s = s ^ msg
+        if mode != VERIFY_PRE:
+            recon = _parity8(s) ^ delta
+        else:
+            recon = jnp.zeros_like(s)
+        mul_corr = recon ^ (a_c & b_c)
+
+        # ---- INPUT ----------------------------------------------------
+        if mode == PROVER:
+            in_c = jnp.take(wit2, w["wit"], axis=0) ^ _parity8(t0)
+        elif mode == VERIFY_ONL:
+            in_c = jnp.take(in2, w["inrec"], axis=0)
+        else:
+            in_c = jnp.zeros_like(a_c)
+
+        # ---- ASSERT ---------------------------------------------------
+        s_assert = a_m
+        if mode == VERIFY_ONL:
+            s_assert = s_assert ^ msg
+        if mode != VERIFY_PRE:
+            a_nonzero = (_parity8(s_assert) ^ a_c) != 0
+            fail = fail | jnp.any((op == G_ASSERT) & a_nonzero, axis=0)
+
+        # ---- result selection ----------------------------------------
+        mask_new = jnp.select(
+            [op == G_MUL, op == G_INPUT, op == G_ADD,
+             (op == G_ADDC) | (op == G_SUBC), op == G_MULC,
+             op == G_RANDOM],
+            [t1, t0, a_m ^ b_m, a_m, a_m & _expand(cbit), t0],
+            jnp.zeros_like(a_m),
+        )
+        corr_new = jnp.select(
+            [op == G_MUL, op == G_INPUT, op == G_ADD,
+             (op == G_ADDC) | (op == G_SUBC), op == G_MULC,
+             op == G_CONST],
+            [mul_corr, in_c, a_c ^ b_c, a_c ^ cbit, a_c & cbit, cbit],
+            jnp.zeros_like(a_c),
+        )
+
+        # ---- scatters -------------------------------------------------
+        mask_new, corr_new = jax.lax.optimization_barrier((mask_new, corr_new))
+        mask2 = mask2.at[w["dst"]].set(mask_new)
+        corr2 = corr2.at[w["dst"]].set(corr_new)
+
+        if mode != VERIFY_PRE:
+            onl_val = jnp.select(
+                [op == G_MUL, op == G_ASSERT, op == G_INPUT],
+                [s, s_assert, _expand(in_c)],
+                jnp.zeros_like(s),
             )
-            conds2 = [op2 == G_INPUT, op2 == G_ADD, op2 == Z_SUB,
-                      op2 == G_ADDC, op2 == G_SUBC, op2 == G_MULC,
-                      op2 == G_MUL, op2 == G_CONST, op2 == B2A_CORR,
-                      op2 == B2A_OUT]
-            corr_new_lo = jnp.select(
-                conds2,
-                [in_clo, addc_lo, subc_lo, addk_lo, subk_lo, mulcc_lo,
-                 mulc2_lo, k_lo, bcc_lo, bout_clo],
-                zero2,
-            )
-            corr_new_hi = jnp.select(
-                conds2,
-                [in_chi, addc_hi, subc_hi, addk_hi, subk_hi, mulcc_hi,
-                 mulc2_hi, k_hi, bcc_hi, bout_chi],
-                zero2,
-            )
-
-            # ---- scatters -------------------------------------------------
-            upd = jax.lax.optimization_barrier(
-                (mask_new_lo, mask_new_hi, corr_new_lo, corr_new_hi)
-            )
-            mzlo = mzlo.at[w["zdst"]].set(upd[0])
-            mzhi = mzhi.at[w["zdst"]].set(upd[1])
-            czlo = czlo.at[w["zdst"]].set(upd[2])
-            czhi = czhi.at[w["zdst"]].set(upd[3])
-
-            # prez events (8 bytes): MUL delta / B2A_CORR correction
-            pe_lo = jnp.where(op2 == B2A_CORR, bcc_lo, d_lo)
-            pe_hi = jnp.where(op2 == B2A_CORR, bcc_hi, d_hi)
-            pre8 = jnp.stack(up.le_bytes(pe_lo, pe_hi), axis=1)  # (Wz, 8, R)
-            pre8 = jax.lax.optimization_barrier(pre8)
-            prez = prez.at[w["zpre"].reshape(-1)].set(pre8.reshape(-1, R))
-
-            if mode != VERIFY_PRE:
-                # onlz events (64 rows): share bytes (MUL/ASSERT) or the
-                # 8-byte input correction (first 8 rows; rest go to trash)
-                se_lo = jnp.where(op3 == G_ASSERT, sa_lo, s_lo)
-                se_hi = jnp.where(op3 == G_ASSERT, sa_hi, s_hi)
-                sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=-1)  # (Wz,R,8p,8b)
-                sh64 = jnp.moveaxis(sh64, 1, -1).reshape(Wz, 64, R)
-                in8 = jnp.stack(up.le_bytes(in_clo, in_chi), axis=1)  # (Wz,8,R)
-                in64 = jnp.concatenate(
-                    [in8, jnp.zeros((Wz, 56, R), U8)], axis=1
-                )
-                val64 = jnp.where(op3 == G_INPUT, in64, sh64)
-                val64 = jax.lax.optimization_barrier(val64)
-                onlz = onlz.at[w["zonl"].reshape(-1)].set(val64.reshape(-1, R))
-                # B2A_OUT writes its 64 bit-reconstruction events into the
-                # GF2 online stream
-                sb_w = jnp.where(op3 == B2A_OUT, sb, jnp.zeros_like(sb))
-                sb_w = jax.lax.optimization_barrier(sb_w)
-                onl2 = onl2.at[w["bonl"].reshape(-1)].set(sb_w.reshape(-1, R))
-
-            return (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
-                    fail)
-
-        def body(carry, w):
-            if has_z:
-                (mask2, corr2, onl2, pre2, fail,
-                 mzlo, mzhi, czlo, czhi, onlz, prez) = carry
-            else:
-                mask2, corr2, onl2, pre2, fail = carry
-            if has_z:
-                # z64 slots read the GF2 arenas (B2A) from the carry-in state:
-                # wave placement guarantees their GF2 dependencies come from
-                # strictly earlier waves
-                (mzlo, mzhi, czlo, czhi, onlz, prez,
-                 mask2_unused, corr2_unused, onl2, fail) = z64_slots(
-                    (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
-                     fail), w)
-            op = w["op"][:, None]  # (W, 1)
-            a_m = jnp.take(mask2, w["a"], axis=0)
-            a_c = jnp.take(corr2, w["a"], axis=0)
-            b_m = jnp.take(mask2, w["b"], axis=0)
-            b_c = jnp.take(corr2, w["b"], axis=0)
-            t0 = jnp.take(tape2, w["t0"], axis=0)
-            t1 = jnp.take(tape2, w["t1"], axis=0)
-            cbit = w["cbit"].astype(U8)[:, None]
-
-            # ---- MUL family -----------------------------------------------
-            if mode == VERIFY_ONL:
-                delta = jnp.take(co2, w["corr"], axis=0)
-            else:
-                delta = (_parity8(a_m) & _parity8(b_m)) ^ _parity8(t0)
-            s = (b_m & _expand(a_c)) ^ (a_m & _expand(b_c)) ^ t0 ^ t1
-            if mode == VERIFY_ONL:
-                msg = jnp.take(re2, w["rec"], axis=0)
-                s = s ^ msg
-            if mode != VERIFY_PRE:
-                recon = _parity8(s) ^ delta
-            else:
-                recon = jnp.zeros_like(s)
-            mul_corr = recon ^ (a_c & b_c)
-
-            # ---- INPUT ----------------------------------------------------
-            if mode == PROVER:
-                in_c = jnp.take(wit2, w["wit"], axis=0) ^ _parity8(t0)
-            elif mode == VERIFY_ONL:
-                in_c = jnp.take(in2, w["inrec"], axis=0)
-            else:
-                in_c = jnp.zeros_like(a_c)
-
-            # ---- ASSERT ---------------------------------------------------
-            s_assert = a_m
-            if mode == VERIFY_ONL:
-                s_assert = s_assert ^ msg
-            if mode != VERIFY_PRE:
-                a_nonzero = (_parity8(s_assert) ^ a_c) != 0
-                fail = fail | jnp.any((op == G_ASSERT) & a_nonzero, axis=0)
-
-            # ---- result selection ----------------------------------------
-            mask_new = jnp.select(
-                [op == G_MUL, op == G_INPUT, op == G_ADD,
-                 (op == G_ADDC) | (op == G_SUBC), op == G_MULC,
-                 op == G_RANDOM],
-                [t1, t0, a_m ^ b_m, a_m, a_m & _expand(cbit), t0],
-                jnp.zeros_like(a_m),
-            )
-            corr_new = jnp.select(
-                [op == G_MUL, op == G_INPUT, op == G_ADD,
-                 (op == G_ADDC) | (op == G_SUBC), op == G_MULC,
-                 op == G_CONST],
-                [mul_corr, in_c, a_c ^ b_c, a_c ^ cbit, a_c & cbit, cbit],
-                jnp.zeros_like(a_c),
-            )
-
-            # ---- scatters -------------------------------------------------
-            mask_new, corr_new = jax.lax.optimization_barrier((mask_new, corr_new))
-            mask2 = mask2.at[w["dst"]].set(mask_new)
-            corr2 = corr2.at[w["dst"]].set(corr_new)
-
-            if mode != VERIFY_PRE:
-                onl_val = jnp.select(
-                    [op == G_MUL, op == G_ASSERT, op == G_INPUT],
-                    [s, s_assert, _expand(in_c)],
-                    jnp.zeros_like(s),
-                )
-                onl_val = jax.lax.optimization_barrier(onl_val)
-                onl2 = onl2.at[w["onl"]].set(onl_val)
-            pre_val = jax.lax.optimization_barrier(_expand(delta))
-            pre2 = pre2.at[w["pre"]].set(pre_val)
-
-            if has_z:
-                return (mask2, corr2, onl2, pre2, fail,
-                        mzlo, mzhi, czlo, czhi, onlz, prez), None
-            return (mask2, corr2, onl2, pre2, fail), None
+            onl_val = jax.lax.optimization_barrier(onl_val)
+            onl2 = onl2.at[w["onl"]].set(onl_val)
+        pre_val = jax.lax.optimization_barrier(_expand(delta))
+        pre2 = pre2.at[w["pre"]].set(pre_val)
 
         if has_z:
-            carry = (mask2, corr2, onl2, pre2, fail,
-                     mzlo, mzhi, czlo, czhi, onlz, prez)
-            (mask2, corr2, onl2, pre2, fail,
-             mzlo, mzhi, czlo, czhi, onlz, prez), _ = jax.lax.scan(
-                body, carry, xs)
-            return {"onl2": onl2[:-1], "pre2": pre2[:-1],
-                    "onlz": onlz[:-1], "prez": prez[:-1], "fail": fail}
+            return (mask2, corr2, onl2, pre2, fail,
+                    mzlo, mzhi, czlo, czhi, onlz, prez), None
+        return (mask2, corr2, onl2, pre2, fail), None
+
+    if has_z:
+        carry = (mask2, corr2, onl2, pre2, fail,
+                 mzlo, mzhi, czlo, czhi, onlz, prez)
+        (mask2, corr2, onl2, pre2, fail,
+         mzlo, mzhi, czlo, czhi, onlz, prez), _ = jax.lax.scan(
+            body, carry, xs)
+        out = {"onl2": onl2[:-1], "pre2": pre2[:-1],
+               "onlz": onlz[:-1], "prez": prez[:-1], "fail": fail}
+    else:
         carry = (mask2, corr2, onl2, pre2, fail)
         (mask2, corr2, onl2, pre2, fail), _ = jax.lax.scan(body, carry, xs)
-        return {"onl2": onl2[:-1], "pre2": pre2[:-1], "fail": fail}
+        out = {"onl2": onl2[:-1], "pre2": pre2[:-1], "fail": fail}
+    if cfg.carry_out:
+        vals = couts["carry_out_vals"]
+        out["carry_mask2"] = jnp.take(mask2, vals, axis=0)
+        out["carry_corr2"] = jnp.take(corr2, vals, axis=0)
+    if cfg.carry_outz:
+        valsz = couts["carry_outz_vals"]
+        out["carry_mzlo"] = jnp.take(mzlo, valsz, axis=0)
+        out["carry_mzhi"] = jnp.take(mzhi, valsz, axis=0)
+        out["carry_czlo"] = jnp.take(czlo, valsz, axis=0)
+        out["carry_czhi"] = jnp.take(czhi, valsz, axis=0)
+    return out

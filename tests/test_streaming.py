@@ -171,3 +171,40 @@ def test_mesh_sharded_streamed_prove_matches():
     proof = sk.prove(wit2, witz, seeds=s)
     assert proof.to_bytes() == base.to_bytes()
     assert sk.verify(proof)
+
+
+def test_streamed_deep_segments_use_scan_executor():
+    """Beyond-HBM DEEP circuits: segments whose depth exceeds the scan
+    threshold run the carry-capable lax.scan executor (one shared compile
+    across uniform segments) and stay byte-identical to unsegmented
+    proving."""
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+
+    prog, wit2, witz = deep_chain_circuit(600)
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    sk = StreamingKKW(prog, 150)
+    assert len(sk.segments) >= 3
+    proof = sk.prove(wit2, witz, seeds=s)
+    assert isinstance(sk._executor(1, 0, 256), ScanExecutor)
+    assert sk.segments[1].cc.depth > StreamingKKW.SCAN_DEPTH_THRESHOLD
+    assert proof.to_bytes() == base.to_bytes()
+    assert sk.verify(proof)
+
+
+def test_streamed_deep_z64_segments():
+    """Deep z64 chain streamed through scan-mode segments with z64 carry
+    rows crossing every boundary."""
+    prog = [
+        CombineOp.z64(Gate(Op.INPUT, dst=0)),
+        CombineOp.z64(Gate(Op.INPUT, dst=1)),
+    ]
+    for _ in range(500):
+        prog.append(CombineOp.z64(Gate(Op.MUL, dst=1, src1=0, src2=1)))
+    wit2, witz = [], [3, 5]
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    sk = StreamingKKW(prog, 140)
+    proof = sk.prove(wit2, witz, seeds=s)
+    assert proof.to_bytes() == base.to_bytes()
+    assert sk.verify(proof)
