@@ -31,9 +31,11 @@ _H0 = [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
        0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19]
 
 
-def _compress(b: Builder, w_words: List[List]) -> List[List]:
-    """One SHA-256 compression over 16 input words (LSB-first bitvecs);
-    returns the 8 output hash words."""
+def _compress(b: Builder, w_words: List[List], h_in=None) -> List[List]:
+    """One SHA-256 compression over 16 input words (LSB-first bitvecs) from
+    hash state `h_in` (8 words; None = the IV) -- returns the 8 output hash
+    words.  Chaining h across calls gives full Merkle-Damgard SHA-256 over
+    arbitrary-length messages."""
 
     def sigma0(x):
         return b.xor_vec(b.xor_vec(b.rotr_vec(x, 7), b.rotr_vec(x, 18)), b.shr_vec(x, 3))
@@ -60,7 +62,9 @@ def _compress(b: Builder, w_words: List[List]) -> List[List]:
         w.append(b.add_vec(b.add_vec(sigma1(w[t - 2]), w[t - 7]),
                            b.add_vec(sigma0(w[t - 15]), w[t - 16])))
 
-    a, bb, c, d, e, f, g, h = [b.const_vec(v, 32) for v in _H0]
+    if h_in is None:
+        h_in = [b.const_vec(v, 32) for v in _H0]
+    a, bb, c, d, e, f, g, h = h_in
     for t in range(64):
         t1 = b.add_vec(b.add_vec(h, big1(e)),
                        b.add_vec(ch(e, f, g), b.add_vec(b.const_vec(_K[t], 32), w[t])))
@@ -70,7 +74,7 @@ def _compress(b: Builder, w_words: List[List]) -> List[List]:
         d, c, bb = c, bb, a
         a = b.add_vec(t1, t2)
 
-    return [b.add_vec(x, b.const_vec(v, 32)) for x, v in zip([a, bb, c, d, e, f, g, h], _H0)]
+    return [b.add_vec(x, y) for x, y in zip([a, bb, c, d, e, f, g, h], h_in)]
 
 
 def sha256_preimage_statement(digest: bytes) -> Tuple[List[CombineOp], int]:
@@ -94,6 +98,32 @@ def sha256_preimage_statement(digest: bytes) -> Tuple[List[CombineOp], int]:
     return b.program(), b.n_inputs
 
 
+def sha256_long_preimage_statement(
+    digest: bytes, n_blocks: int
+) -> Tuple[List[CombineOp], int]:
+    """Statement: prover knows an `n_blocks`-block padded message hashing to
+    `digest` -- full Merkle-Damgard SHA-256 over arbitrary-length messages
+    (the hash state chains through every compression, so the circuit is both
+    wide (~22.4k ANDs/block) and deep (~5.2k levels/block): the flagship
+    workload for the streaming scan executor).  Witness bits: all blocks'
+    512 bits each, word-major MSB-first (block_to_witness_bits per block,
+    concatenated)."""
+    assert len(digest) == 32 and n_blocks >= 1
+    b = Builder()
+    h = None
+    for _ in range(n_blocks):
+        w_words = []
+        for _ in range(16):
+            msb_first = b.input_vec(32)
+            w_words.append(list(reversed(msb_first)))
+        h = _compress(b, w_words, h)
+    want = struct.unpack(">8I", digest)
+    for word_bits, val in zip(h, want):
+        for i in range(32):
+            b.assert_equal(word_bits[i], (val >> i) & 1)
+    return b.program(), b.n_inputs
+
+
 def sha256_pad_one_block(message: bytes) -> bytes:
     """Pad a message of <= 55 bytes into a single 64-byte SHA-256 block."""
     assert len(message) <= 55
@@ -101,6 +131,14 @@ def sha256_pad_one_block(message: bytes) -> bytes:
     block = message + b"\x80" + b"\x00" * (55 - len(message)) + struct.pack(">Q", bitlen)
     assert len(block) == 64
     return block
+
+
+def sha256_pad_message(message: bytes) -> bytes:
+    """Standard SHA-256 padding for any message length: returns the full
+    padded byte string (a multiple of 64 bytes)."""
+    bitlen = len(message) * 8
+    padlen = (55 - len(message)) % 64
+    return message + b"\x80" + b"\x00" * padlen + struct.pack(">Q", bitlen)
 
 
 def block_to_witness_bits(block: bytes) -> List[bool]:

@@ -208,3 +208,30 @@ def test_streamed_deep_z64_segments():
     proof = sk.prove(wit2, witz, seeds=s)
     assert proof.to_bytes() == base.to_bytes()
     assert sk.verify(proof)
+
+
+def test_streamed_multiblock_sha256():
+    """Flagship deep+wide workload: 2-block SHA-256 preimage (45k ANDs,
+    ~10.4k levels) proved through streamed scan-mode segments, byte-identical
+    to the unsegmented prover, and verified streamed."""
+    import hashlib
+
+    from reverie_tpu.circuit.sha256 import (
+        block_to_witness_bits,
+        sha256_long_preimage_statement,
+        sha256_pad_message,
+    )
+
+    msg = bytes(range(77))
+    padded = sha256_pad_message(msg)
+    prog, _ = sha256_long_preimage_statement(hashlib.sha256(msg).digest(), 2)
+    wit = []
+    for i in range(0, len(padded), 64):
+        wit.extend(block_to_witness_bits(padded[i : i + 64]))
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit, [], seeds=s)
+    sk = StreamingKKW(prog, 40_000)
+    assert len(sk.segments) >= 2
+    proof = sk.prove(wit, [], seeds=s)
+    assert proof.to_bytes() == base.to_bytes()
+    assert sk.verify(proof)
