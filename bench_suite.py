@@ -158,8 +158,68 @@ def bench_streaming():
                       "value": round(n / dt), "unit": "gates/s"}))
 
 
+def bench_z64_deep():
+    """Deep serial z64 mul chain through the scan executor (round-2c: the
+    z64/B2A scan body)."""
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit import CombineOp, Gate, Op
+
+    n = int(os.environ.get("BENCH_Z64_DEEP", 2_000))
+    prog = [
+        CombineOp.z64(Gate(Op.INPUT, dst=0)),
+        CombineOp.z64(Gate(Op.INPUT, dst=1)),
+    ]
+    prog.extend(
+        CombineOp.z64(Gate(Op.MUL, dst=1, src1=0, src2=1)) for _ in range(n)
+    )
+    sys_ = TpuKKW(prog)
+    seeds = np.random.RandomState(8).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    _, dt, warm = _time2(lambda: sys_.prove([], [3, 5], seeds=seeds))
+    log(f"z64_deep: {n} serial muls prove {dt:.2f}s (warm {warm:.1f}s)")
+    print(json.dumps({"metric": "z64_deep_mul_gates_per_sec", "value": round(n / dt),
+                      "unit": "gates/s"}))
+
+
+def bench_sha256_long():
+    """Multi-block SHA-256 (deep+wide flagship) streamed through scan-mode
+    segments."""
+    import hashlib
+
+    from reverie_tpu.backend.streaming import StreamingKKW
+    from reverie_tpu.circuit.sha256 import (
+        block_to_witness_bits,
+        count_and_gates,
+        sha256_long_preimage_statement,
+        sha256_pad_message,
+    )
+
+    blocks = int(os.environ.get("BENCH_SHA_BLOCKS", 8))
+    msg = bytes(range(256)) * ((blocks * 64 - 9) // 256 + 1)
+    msg = msg[: blocks * 64 - 9]
+    padded = sha256_pad_message(msg)
+    assert len(padded) == blocks * 64
+    prog, _ = sha256_long_preimage_statement(hashlib.sha256(msg).digest(), blocks)
+    wit = []
+    for i in range(0, len(padded), 64):
+        wit.extend(block_to_witness_bits(padded[i : i + 64]))
+    n_and = count_and_gates(prog)
+    sk = StreamingKKW(prog, 60_000)
+    seeds = np.random.RandomState(9).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    proof, dt, warm = _time2(lambda: sk.prove(wit, [], seeds=seeds))
+    log(f"sha256_long: {blocks} blocks ({n_and} ANDs, {len(sk.segments)} "
+        f"segments) prove {dt:.2f}s (warm {warm:.1f}s)")
+    print(json.dumps({"metric": "sha256_long_and_gates_per_sec",
+                      "value": round(n_and / dt), "unit": "gates/s",
+                      "blocks": blocks}))
+    ok, dt, _ = _time2(lambda: sk.verify(proof))
+    assert ok
+    print(json.dumps({"metric": "sha256_long_verify_s", "value": round(dt, 2),
+                      "unit": "s"}))
+
+
 ALL = {"and1m": bench_and1m, "sha256": bench_sha256, "z64": bench_z64,
-       "batch": bench_batch, "verify": bench_verify, "streaming": bench_streaming}
+       "batch": bench_batch, "verify": bench_verify, "streaming": bench_streaming,
+       "z64_deep": bench_z64_deep, "sha256_long": bench_sha256_long}
 
 
 if __name__ == "__main__":
