@@ -235,3 +235,20 @@ def test_streamed_multiblock_sha256():
     proof = sk.prove(wit, [], seeds=s)
     assert proof.to_bytes() == base.to_bytes()
     assert sk.verify(proof)
+
+
+def test_streamed_verify_rejects_malformed():
+    """StreamingKKW.verify must cleanly reject (not crash on) tampered and
+    truncated proofs, like the unsegmented verifiers."""
+    from reverie_tpu.proof import Proof
+
+    prog, wit2, witz = CASES["mul60"]()
+    s = seeds256()
+    sk = StreamingKKW(prog, 13)
+    proof = sk.prove(wit2, witz, seeds=s)
+    raw = bytearray(proof.to_bytes())
+    raw[7] ^= 1
+    assert not sk.verify(Proof.from_bytes(bytes(raw)))
+    bad = Proof.from_bytes(proof.to_bytes())
+    bad.gf2.online[0].omit = 9
+    assert not sk.verify(bad)

@@ -273,3 +273,17 @@ def test_mesh_sharded_scan_z64_prove_matches():
     proof = sharded.prove(wit2, witz, seeds=s)
     assert proof.to_bytes() == base.to_bytes()
     assert sharded.verify(proof)
+
+
+def test_prove_batch_deep_circuit_scan():
+    """prove_batch on a deep circuit: the scan executor runs with the
+    batched lane count (R = N*256) and stays byte-identical."""
+    prog, wit2, witz = wide_and_circuit(700, width=8, seed=3)
+    rng = np.random.RandomState(21)
+    seeds = rng.randint(0, 256, size=(2, 256, 16), dtype=np.uint8)
+    sys_ = TpuKKW(prog)
+    assert sys_.cc.depth > TpuKKW.SCAN_DEPTH_THRESHOLD
+    batch = sys_.prove_batch([(wit2, witz)] * 2, seeds=seeds)
+    for i in range(2):
+        single = sys_.prove(wit2, witz, seeds=seeds[i])
+        assert batch[i].to_bytes() == single.to_bytes(), i
