@@ -287,3 +287,54 @@ def test_prove_batch_deep_circuit_scan():
     for i in range(2):
         single = sys_.prove(wit2, witz, seeds=seeds[i])
         assert batch[i].to_bytes() == single.to_bytes(), i
+
+
+def test_scan_executor_z64_all_ops_wide():
+    """All z64 gate kinds (INPUT/ADD/SUB/ADDC/SUBC/MULC/MUL/CONST/RANDOM/
+    ASSERT) in a deep circuit wide enough to saturate z64 wave slots
+    (several z64 slots per level), byte-identical through the scan
+    executor."""
+    import random as _random
+
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+
+    rng = _random.Random(5)
+    prog = []
+    width = 6
+    for w in range(width):
+        prog.append(CombineOp.z64(Gate(Op.INPUT, dst=w)))
+    prog.append(CombineOp.z64(Gate(Op.RANDOM, dst=width)))
+    prog.append(CombineOp.z64(Gate(Op.CONST, dst=width + 1, const=0xDEADBEEFCAFEF00D)))
+    kinds = [Op.ADD, Op.SUB, Op.ADDC, Op.SUBC, Op.MULC, Op.MUL]
+    acc = 0  # serial accumulator wire: forces depth ~= iterations
+    for i in range(200):
+        k = kinds[i % len(kinds)]
+        b2 = rng.randrange(width + 2)
+        if k in (Op.ADDC, Op.SUBC, Op.MULC):
+            prog.append(CombineOp.z64(Gate(k, dst=acc, src1=acc, const=rng.getrandbits(64))))
+        else:
+            prog.append(CombineOp.z64(Gate(k, dst=acc, src1=acc, src2=b2)))
+        # plus parallel ops at the same level to widen the z64 waves
+        for _ in range(3):
+            k2 = kinds[rng.randrange(len(kinds))]
+            a = rng.randrange(1, width + 2)
+            c = rng.randrange(1, width + 2)
+            d = rng.randrange(1, width)
+            if k2 in (Op.ADDC, Op.SUBC, Op.MULC):
+                prog.append(CombineOp.z64(Gate(k2, dst=d, src1=a, const=rng.getrandbits(64))))
+            else:
+                prog.append(CombineOp.z64(Gate(k2, dst=d, src1=a, src2=c)))
+    # a satisfiable assert: x - x == 0
+    prog.append(CombineOp.z64(Gate(Op.SUB, dst=width, src1=0, src2=0)))
+    prog.append(CombineOp.z64(Gate(Op.ASSERT_ZERO, src1=width)))
+    witz = [rng.getrandbits(64) for _ in range(width)]
+    s = seeds256()
+    sys_ = TpuKKW(prog)
+    assert sys_.cc.depth > TpuKKW.SCAN_DEPTH_THRESHOLD
+    from reverie_tpu.backend.tpu_scan import ScanExecutor as _SE
+
+    assert isinstance(sys_._executor(0, 256), _SE)
+    cpu_proof = cpu_prove(prog, [], witz, seeds=s.reshape(32, 8, 16))
+    tpu_proof = sys_.prove([], witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
