@@ -338,3 +338,51 @@ def test_scan_executor_z64_all_ops_wide():
     tpu_proof = sys_.prove([], witz, seeds=s)
     assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(tpu_proof)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_scan_vs_unrolled_randomized(seed, monkeypatch):
+    """Randomized differential sweep: force the scan executor onto small
+    random mixed GF2+Z64+B2A circuits (threshold 0) and require byte-identity
+    with the golden backend -- a structural fuzz of wave packing."""
+    import random as _random
+
+    monkeypatch.setattr(TpuKKW, "SCAN_DEPTH_THRESHOLD", 0)
+    rng = _random.Random(seed)
+    prog = []
+    for w in range(64):
+        prog.append(CombineOp.gf2(Gate(Op.INPUT, dst=w)))
+    for w in range(3):
+        prog.append(CombineOp.z64(Gate(Op.INPUT, dst=w)))
+    g_kinds = [Op.ADD, Op.MUL, Op.ADDC, Op.MULC]
+    z_kinds = [Op.ADD, Op.SUB, Op.MUL, Op.ADDC, Op.MULC]
+    for _ in range(rng.randrange(30, 80)):
+        r = rng.random()
+        if r < 0.55:
+            k = g_kinds[rng.randrange(len(g_kinds))]
+            a, b2, d = (rng.randrange(64) for _ in range(3))
+            if k in (Op.ADDC, Op.MULC):
+                prog.append(CombineOp.gf2(Gate(k, dst=d, src1=a, const=rng.getrandbits(1))))
+            else:
+                prog.append(CombineOp.gf2(Gate(k, dst=d, src1=a, src2=b2)))
+        elif r < 0.9:
+            k = z_kinds[rng.randrange(len(z_kinds))]
+            a, b2 = rng.randrange(3), rng.randrange(3)
+            d = rng.randrange(3)
+            if k in (Op.ADDC, Op.MULC):
+                prog.append(CombineOp.z64(Gate(k, dst=d, src1=a, const=rng.getrandbits(64))))
+            else:
+                prog.append(CombineOp.z64(Gate(k, dst=d, src1=a, src2=b2)))
+        else:
+            prog.append(CombineOp.b2a(rng.randrange(3), 0))
+    wit2 = [bool(rng.getrandbits(1)) for _ in range(64)]
+    witz = [rng.getrandbits(64) for _ in range(3)]
+    s = seeds256()
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+
+    sys_ = TpuKKW(prog)
+    assert isinstance(sys_._executor(0, 256), ScanExecutor)
+    cpu_proof = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    tpu_proof = sys_.prove(wit2, witz, seeds=s)
+    assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(tpu_proof)
