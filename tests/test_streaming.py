@@ -180,10 +180,10 @@ def test_streamed_deep_segments_use_scan_executor():
     proving."""
     from reverie_tpu.backend.tpu_scan import ScanExecutor
 
-    prog, wit2, witz = deep_chain_circuit(600)
+    prog, wit2, witz = deep_chain_circuit(420)
     s = seeds256()
     base = TpuKKW(prog).prove(wit2, witz, seeds=s)
-    sk = StreamingKKW(prog, 150)
+    sk = StreamingKKW(prog, 140)
     assert len(sk.segments) >= 3
     proof = sk.prove(wit2, witz, seeds=s)
     assert isinstance(sk._executor(1, 0, 256), ScanExecutor)
@@ -199,12 +199,13 @@ def test_streamed_deep_z64_segments():
         CombineOp.z64(Gate(Op.INPUT, dst=0)),
         CombineOp.z64(Gate(Op.INPUT, dst=1)),
     ]
-    for _ in range(500):
+    for _ in range(330):
         prog.append(CombineOp.z64(Gate(Op.MUL, dst=1, src1=0, src2=1)))
     wit2, witz = [], [3, 5]
     s = seeds256()
     base = TpuKKW(prog).prove(wit2, witz, seeds=s)
     sk = StreamingKKW(prog, 140)
+    assert sk.segments[0].cc.depth > StreamingKKW.SCAN_DEPTH_THRESHOLD
     proof = sk.prove(wit2, witz, seeds=s)
     assert proof.to_bytes() == base.to_bytes()
     assert sk.verify(proof)
