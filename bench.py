@@ -61,6 +61,15 @@ def _check_device(timeout_s: float = 180.0) -> None:
             "vs_baseline": 0.0,
             "error": f"device init did not complete in {timeout_s:.0f}s "
                      "(accelerator link down?)",
+            # most recent hardware measurement of this same benchmark, for
+            # context when the link is down (BASELINE.md round-2 table)
+            "last_measured": {
+                "value": 2_980_000,
+                "unit": "gates/s",
+                "vs_baseline": 0.596,
+                "date": "2026-08-17",
+                "source": "BASELINE.md round-2 continuation (pipelined, TPU v5e)",
+            },
         }))
         sys.exit(2)
     log(f"devices: {devices}")
