@@ -253,3 +253,19 @@ def test_streamed_verify_rejects_malformed():
     bad = Proof.from_bytes(proof.to_bytes())
     bad.gf2.online[0].omit = 9
     assert not sk.verify(bad)
+
+
+def test_streamed_deep_mesh_composition():
+    """Everything composes: deep circuit, streamed segments, scan executors,
+    8-device mesh sharding -- proof bytes unchanged."""
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+    from reverie_tpu.parallel import make_mesh
+
+    prog, wit2, witz = deep_chain_circuit(300)
+    s = seeds256()
+    base = TpuKKW(prog).prove(wit2, witz, seeds=s)
+    sk = StreamingKKW(prog, 150, mesh=make_mesh(8))
+    proof = sk.prove(wit2, witz, seeds=s)
+    assert isinstance(sk._executor(0, 0, 256), ScanExecutor)
+    assert proof.to_bytes() == base.to_bytes()
+    assert sk.verify(proof)
