@@ -22,13 +22,24 @@ import time
 import numpy as np
 
 
-def _load_program(path: str, fmt: str):
+def _load_program(path: str, fmt: str, bristol_output: str = ""):
     from .circuit import bristol_to_program, load_program, parse_bristol
 
     with open(path, "rb") as f:
         data = f.read()
     if fmt == "bristol":
-        return bristol_to_program(parse_bristol(data.decode()))
+        circ = parse_bristol(data.decode())
+        if bristol_output:
+            from .circuit.bristol import bristol_with_output_assertion
+
+            bits = [c == "1" for c in bristol_output.strip()]
+            if len(bits) != circ.n_output_bits:
+                raise SystemExit(
+                    f"--bristol-output has {len(bits)} bits, circuit outputs "
+                    f"{circ.n_output_bits}"
+                )
+            return bristol_with_output_assertion(circ, bits)
+        return bristol_to_program(circ)
     return load_program(data)
 
 
@@ -84,7 +95,7 @@ def cmd_prove(args) -> int:
     from .circuit import largest_wires
     from .proof import prove
 
-    program = _load_program(args.program_path, args.format)
+    program = _load_program(args.program_path, args.format, args.bristol_output)
     witness = _load_witness(args.witness_path)
     print("Evaluating program in ~zero knowledge~")
     t0 = time.time()
@@ -104,7 +115,7 @@ def cmd_verify(args) -> int:
     from .circuit import largest_wires
     from .proof import Proof, verify
 
-    program = _load_program(args.program_path, args.format)
+    program = _load_program(args.program_path, args.format, args.bristol_output)
     with open(args.proof_path, "rb") as f:
         proof = Proof.from_bytes(f.read())
     print("Verifying Proof")
@@ -124,7 +135,7 @@ def cmd_verify(args) -> int:
 def cmd_oneshot(args) -> int:
     from .circuit import evaluate_composite_program
 
-    program = _load_program(args.program_path, args.format)
+    program = _load_program(args.program_path, args.format, args.bristol_output)
     witness = _load_witness(args.witness_path)
     print("Evaluating program in cleartext")
     evaluate_composite_program(program, witness, [])
@@ -136,7 +147,7 @@ def cmd_oneshot_zk(args) -> int:
     from .circuit import largest_wires
     from .proof import prove, verify
 
-    program = _load_program(args.program_path, args.format)
+    program = _load_program(args.program_path, args.format, args.bristol_output)
     witness = _load_witness(args.witness_path)
     print("Evaluating program in ~zero knowledge~")
     if args.backend == "tpu" or args.segment_ops:
@@ -180,12 +191,18 @@ def app() -> argparse.ArgumentParser:
     p.add_argument("--witness-path")
     p.add_argument("--proof-path")
     p.add_argument("--format", default="bincode", choices=["bincode", "bristol"])
+    p.add_argument(
+        "--bristol-output", default="",
+        help="expected output bits (e.g. '01') for --format bristol: the"
+             " circuit outputs are asserted equal to this public value",
+    )
     p.add_argument("--backend", default="tpu", choices=["tpu", "cpu"])
     p.add_argument(
         "--segment-ops", type=int, default=0, metavar="N",
         help="stream the proof in segments of N ops (O(segment) device "
-             "memory for beyond-HBM circuits; GF2-only programs; proof "
-             "bytes identical to unsegmented proving)",
+             "memory for beyond-HBM circuits, all op kinds; deep segments "
+             "use the scan executor; proof bytes identical to unsegmented "
+             "proving)",
     )
     return p
 

@@ -109,3 +109,30 @@ def test_cli_version():
     r = run_cli("--operation", "version_info")
     assert r.returncode == 0
     assert "reverie_tpu_version" in r.stdout
+
+
+def test_cli_bristol_prove_verify(tmp_path):
+    """Bristol-fashion circuits prove/verify end-to-end via --format bristol
+    with --bristol-output binding the public output value (without it the
+    lowered program has no assertions -- a vacuous statement)."""
+    # inputs a, b; output = a AND b (output wire must be the last wire)
+    bristol = "1 3\n2 1 1\n1 1\n\n2 1 0 1 2 AND\n"
+    (tmp_path / "c.txt").write_text(bristol)
+    (tmp_path / "w.txt").write_bytes(b"11")
+    r = run_cli(
+        "--operation", "oneshot-zk",
+        "--program-path", str(tmp_path / "c.txt"),
+        "--witness-path", str(tmp_path / "w.txt"),
+        "--format", "bristol", "--bristol-output", "1",
+        "--backend", "cpu",
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    # wrong public output -> the prover aborts on the failed assert
+    r = run_cli(
+        "--operation", "oneshot-zk",
+        "--program-path", str(tmp_path / "c.txt"),
+        "--witness-path", str(tmp_path / "w.txt"),
+        "--format", "bristol", "--bristol-output", "0",
+        "--backend", "cpu",
+    )
+    assert r.returncode != 0
