@@ -37,6 +37,30 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+_LAST_MEASURED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_last_measured.json"
+)
+
+
+def _read_last_measured():
+    """Most recent successful hardware measurement (sidecar written by every
+    successful bench run), reported for context when the device link is
+    down."""
+    try:
+        with open(_LAST_MEASURED_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _write_last_measured(result: dict) -> None:
+    try:
+        with open(_LAST_MEASURED_PATH, "w") as f:
+            json.dump(dict(result, date=time.strftime("%Y-%m-%d")), f)
+    except OSError:
+        pass
+
+
 def _check_device(timeout_s: float = 180.0) -> None:
     """Fail fast (with an honest JSON error line) instead of hanging forever
     when the device link is down: platform plugins can block indefinitely in
@@ -54,23 +78,18 @@ def _check_device(timeout_s: float = 180.0) -> None:
     t.start()
     t.join(timeout_s)
     if t.is_alive() or not devices:
-        print(json.dumps({
+        err = {
             "metric": "prove_and_gates_per_sec",
             "value": 0,
             "unit": "gates/s",
             "vs_baseline": 0.0,
             "error": f"device init did not complete in {timeout_s:.0f}s "
                      "(accelerator link down?)",
-            # most recent hardware measurement of this same benchmark, for
-            # context when the link is down (BASELINE.md round-2 table)
-            "last_measured": {
-                "value": 2_980_000,
-                "unit": "gates/s",
-                "vs_baseline": 0.596,
-                "date": "2026-08-17",
-                "source": "BASELINE.md round-2 continuation (pipelined, TPU v5e)",
-            },
-        }))
+        }
+        last = _read_last_measured()
+        if last is not None:
+            err["last_measured"] = last
+        print(json.dumps(err))
         sys.exit(2)
     log(f"devices: {devices}")
 
@@ -151,18 +170,23 @@ def main() -> None:
         # tests (tools/tpu_check.py); log loudly but still report throughput.
         log("  WARNING: verification failed on this run -- investigate!")
 
+    result = {
+        "metric": "AND_gates_per_sec_proving_z2_256reps",
+        "value": round(gates_per_sec),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_sec / REF_GATES_PER_SEC, 3),
+        "pipelined": True,
+        "single_prove_s": round(dt_single, 3),
+        "single_gates_per_sec": round(N_GATES / dt_single),
+        "verify_ok": bool(ok),
+        "verify_s": round(dt_verify, 3),
+    }
+    if ok:
+        _write_last_measured(result)
     print(
         json.dumps(
             {
-                "metric": "AND_gates_per_sec_proving_z2_256reps",
-                "value": round(gates_per_sec),
-                "unit": "gates/s",
-                "vs_baseline": round(gates_per_sec / REF_GATES_PER_SEC, 3),
-                "pipelined": True,
-                "single_prove_s": round(dt_single, 3),
-                "single_gates_per_sec": round(N_GATES / dt_single),
-                "verify_ok": bool(ok),
-                "verify_s": round(dt_verify, 3),
+                **result,
             }
         )
     )

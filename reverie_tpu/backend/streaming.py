@@ -128,9 +128,19 @@ class StreamingKKW:
         self._use_device_tape = None
 
     # ------------------------------------------------------------------
-    #: per-segment depth beyond which segments use the lax.scan executor
-    #: (deep beyond-HBM circuits: unrolled per-level compile would explode)
-    SCAN_DEPTH_THRESHOLD = 128
+    class _ScanThreshold:
+        """Per-segment depth beyond which segments use the lax.scan executor.
+        Resolves TpuKKW.SCAN_DEPTH_THRESHOLD at every read (works on the
+        class or an instance), so segmented and unsegmented proving always
+        pick executors consistently -- including under test monkeypatching
+        of TpuKKW's attribute."""
+
+        def __get__(self, obj, objtype=None) -> int:
+            from .tpu_host import TpuKKW
+
+            return TpuKKW.SCAN_DEPTH_THRESHOLD
+
+    SCAN_DEPTH_THRESHOLD = _ScanThreshold()
 
     def _executor(self, s: int, mode: int, R: int) -> Executor:
         key = (s, mode, R)

@@ -87,6 +87,22 @@ def _recon_sum(lo, hi):
     return alo, ahi
 
 
+def carry_arena(n_vals: int, R: int, carried=None, tail=(), dtype=U8,
+                extra_rows: int = 0):
+    """Value arena with the streaming-segment carry contract: row 0 is the
+    constant-zero value, rows 1..k hold the carried-in rows (in order), the
+    rest are zeros; `extra_rows` appends trash rows (the scan executor's
+    uniform-scatter targets).  SINGLE source of truth for the row layout --
+    both executors build their arenas through this helper so segment streams
+    stay byte-identical between them."""
+    if carried is None or carried.shape[0] == 0:
+        return jnp.zeros((n_vals + extra_rows, R) + tail, dtype)
+    k = carried.shape[0]
+    z1 = jnp.zeros((1, R) + tail, dtype)
+    zrest = jnp.zeros((n_vals - 1 - k + extra_rows, R) + tail, dtype)
+    return jnp.concatenate([z1, carried, zrest], axis=0)
+
+
 def _classify(idx: np.ndarray):
     """Classify an index column: ('const', v) | ('arith', start, step) |
     ('gather', None).  Most compiled columns are constant, strided, or
@@ -218,30 +234,14 @@ class Executor:
     # ------------------------------------------------------------------
     def _trace(self, inp, tables):
         cc, R = self.cc, self.R
-        if self.carry_in:
-            k = self.carry_in
-            z1 = jnp.zeros((1, R), dtype=U8)
-            zrest = jnp.zeros((cc.n_vals2 - 1 - k, R), dtype=U8)
-            mask2_init = jnp.concatenate([z1, inp["carry_mask2"], zrest], axis=0)
-            corr2_init = jnp.concatenate([z1, inp["carry_corr2"], zrest], axis=0)
-        else:
-            mask2_init = jnp.zeros((cc.n_vals2, R), dtype=U8)
-            corr2_init = jnp.zeros((cc.n_vals2, R), dtype=U8)
-        if self.carry_inz:
-            kz = self.carry_inz
-            zm1 = jnp.zeros((1, R, 8), dtype=U32)
-            zmr = jnp.zeros((cc.n_valsz - 1 - kz, R, 8), dtype=U32)
-            zc1 = jnp.zeros((1, R), dtype=U32)
-            zcr = jnp.zeros((cc.n_valsz - 1 - kz, R), dtype=U32)
-            mzlo_init = jnp.concatenate([zm1, inp["carry_mzlo"], zmr], axis=0)
-            mzhi_init = jnp.concatenate([zm1, inp["carry_mzhi"], zmr], axis=0)
-            czlo_init = jnp.concatenate([zc1, inp["carry_czlo"], zcr], axis=0)
-            czhi_init = jnp.concatenate([zc1, inp["carry_czhi"], zcr], axis=0)
-        else:
-            mzlo_init = jnp.zeros((cc.n_valsz, R, 8), dtype=U32)
-            mzhi_init = jnp.zeros((cc.n_valsz, R, 8), dtype=U32)
-            czlo_init = jnp.zeros((cc.n_valsz, R), dtype=U32)
-            czhi_init = jnp.zeros((cc.n_valsz, R), dtype=U32)
+        c2 = inp if self.carry_in else {}
+        mask2_init = carry_arena(cc.n_vals2, R, c2.get("carry_mask2"))
+        corr2_init = carry_arena(cc.n_vals2, R, c2.get("carry_corr2"))
+        cz = inp if self.carry_inz else {}
+        mzlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzlo"), (8,), U32)
+        mzhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzhi"), (8,), U32)
+        czlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_czlo"), (), U32)
+        czhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_czhi"), (), U32)
         st = dict(
             mask2=mask2_init,
             corr2=corr2_init,

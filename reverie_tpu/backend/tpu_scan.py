@@ -51,6 +51,7 @@ from .tpu import (
     _expand,
     _parity8,
     _recon_sum,
+    carry_arena,
 )
 
 U8 = jnp.uint8
@@ -169,15 +170,9 @@ class ScanExecutor:
 def _scan_trace(cfg: _Cfg, inp, xs, couts):
     mode, R, has_z = cfg.mode, cfg.R, cfg.has_z
 
-    if cfg.carry_in:
-        k = cfg.carry_in
-        zrest = jnp.zeros((cfg.n_vals2 - 1 - k + 1, R), U8)  # tail + trash row
-        z1 = jnp.zeros((1, R), U8)
-        mask2 = jnp.concatenate([z1, inp["carry_mask2"], zrest], axis=0)
-        corr2 = jnp.concatenate([z1, inp["carry_corr2"], zrest], axis=0)
-    else:
-        mask2 = jnp.zeros((cfg.n_vals2 + 1, R), U8)  # +1 trash row
-        corr2 = jnp.zeros((cfg.n_vals2 + 1, R), U8)
+    c2 = inp if cfg.carry_in else {}
+    mask2 = carry_arena(cfg.n_vals2, R, c2.get("carry_mask2"), extra_rows=1)
+    corr2 = carry_arena(cfg.n_vals2, R, c2.get("carry_corr2"), extra_rows=1)
     onl2 = jnp.zeros((cfg.onl2 + 1, R), U8)
     pre2 = jnp.zeros((cfg.pre2 + 1, R), U8)
     fail = jnp.zeros((R,), jnp.bool_)
@@ -199,21 +194,11 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
     # passes z64 carry wires through without executing any z64 op
     if has_z or cfg.carry_inz or cfg.carry_outz:
         Vz = cfg.n_valsz
-        if cfg.carry_inz:
-            kz = cfg.carry_inz
-            zm1 = jnp.zeros((1, R, 8), U32)
-            zmr = jnp.zeros((Vz - 1 - kz + 1, R, 8), U32)
-            zc1 = jnp.zeros((1, R), U32)
-            zcr = jnp.zeros((Vz - 1 - kz + 1, R), U32)
-            mzlo = jnp.concatenate([zm1, inp["carry_mzlo"], zmr], axis=0)
-            mzhi = jnp.concatenate([zm1, inp["carry_mzhi"], zmr], axis=0)
-            czlo = jnp.concatenate([zc1, inp["carry_czlo"], zcr], axis=0)
-            czhi = jnp.concatenate([zc1, inp["carry_czhi"], zcr], axis=0)
-        else:
-            mzlo = jnp.zeros((Vz + 1, R, 8), U32)
-            mzhi = jnp.zeros((Vz + 1, R, 8), U32)
-            czlo = jnp.zeros((Vz + 1, R), U32)
-            czhi = jnp.zeros((Vz + 1, R), U32)
+        cz = inp if cfg.carry_inz else {}
+        mzlo = carry_arena(Vz, R, cz.get("carry_mzlo"), (8,), U32, extra_rows=1)
+        mzhi = carry_arena(Vz, R, cz.get("carry_mzhi"), (8,), U32, extra_rows=1)
+        czlo = carry_arena(Vz, R, cz.get("carry_czlo"), (), U32, extra_rows=1)
+        czhi = carry_arena(Vz, R, cz.get("carry_czhi"), (), U32, extra_rows=1)
         onlz = jnp.zeros((cfg.onlz + 1, R), U8)
         prez = jnp.zeros((cfg.prez + 1, R), U8)
 

@@ -32,7 +32,12 @@ def _load_program(path: str, fmt: str, bristol_output: str = ""):
         if bristol_output:
             from .circuit.bristol import bristol_with_output_assertion
 
-            bits = [c == "1" for c in bristol_output.strip()]
+            txt = bristol_output.strip()
+            if set(txt) - {"0", "1"}:
+                raise SystemExit(
+                    f"--bristol-output must be '0'/'1' bits, got {txt!r}"
+                )
+            bits = [c == "1" for c in txt]
             if len(bits) != circ.n_output_bits:
                 raise SystemExit(
                     f"--bristol-output has {len(bits)} bits, circuit outputs "
