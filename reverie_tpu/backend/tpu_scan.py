@@ -27,6 +27,7 @@ import numpy as np
 
 from ..algebra import u64pair as up
 from ..circuit.compile import (
+    _NOP as _SCAN_NOP,
     B2A_CORR,
     B2A_OUT,
     G_ADD,
@@ -76,6 +77,10 @@ class _Cfg(NamedTuple):
     carry_inz: int
     carry_out: bool
     carry_outz: bool
+    zkinds: int = -1  # bitmask of z64 opcodes present anywhere (-1 = all)
+
+    def zhas(self, *kinds) -> bool:
+        return any(self.zkinds & (1 << k) for k in kinds)
 
 
 _TRACE_FNS: Dict[_Cfg, object] = {}
@@ -140,12 +145,18 @@ class ScanExecutor:
         else:
             self.xs = jax.device_put(xs_host)
             self.couts = jax.device_put(couts_host)
+        zkinds = 0
+        if self.waves.has_z64:
+            for k in np.unique(self.waves.zop):
+                if k != _SCAN_NOP:
+                    zkinds |= 1 << int(k)
         self.cfg = _Cfg(
             mode=mode, R=total_reps, n_vals2=cc.n_vals2, n_valsz=cc.n_valsz,
             onl2=cc.onl2, pre2=cc.pre2, onlz=cc.onlz, prez=cc.prez,
             has_z=self.waves.has_z64, carry_in=carry_in, carry_inz=carry_inz,
             carry_out="carry_out_vals" in couts_host,
             carry_outz="carry_outz_vals" in couts_host,
+            zkinds=zkinds,
         )
         self._run = _jitted(self.cfg)
 
@@ -220,8 +231,14 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
         rez_hi = zpad("rez_hi", (1, R, 8))
 
     def z64_slots(zst, w):
-        """Compute one wave's Wz z64 slots: every family, opcode-select."""
+        """Compute one wave's Wz z64 slots and select by opcode.  Gate
+        families whose opcode never appears in the circuit (cfg.zkinds) are
+        skipped entirely -- e.g. a pure z64-mul chain never pays the B2A
+        (Wz, 64, R) gathers, and a B2A-only circuit never pays the mul64
+        chains.  Selection semantics are unchanged: a skipped family's
+        condition can never be true."""
         mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2, fail = zst
+        zh = cfg.zhas
         zop = w["zop"]
         op2 = zop[:, None]  # (Wz, 1) -> (Wz, R) selects
         op3 = zop[:, None, None]  # (Wz, R, 8) / (Wz, 64, R) selects
@@ -237,137 +254,185 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
         bc_hi = jnp.take(czhi, w["zb"], axis=0)
         t0_lo = jnp.take(tz_lo, w["zt0"], axis=0)  # (Wz, R, 8)
         t0_hi = jnp.take(tz_hi, w["zt0"], axis=0)
-        t1_lo = jnp.take(tz_lo, w["zt1"], axis=0)
-        t1_hi = jnp.take(tz_hi, w["zt1"], axis=0)
         k_lo = jnp.broadcast_to(w["zclo"][:, None], (Wz, R))
         k_hi = jnp.broadcast_to(w["zchi"][:, None], (Wz, R))
         zero2 = jnp.zeros((Wz, R), U32)
 
-        # ---- INPUT ----------------------------------------------------
-        r_lo, r_hi = _recon_sum(t0_lo, t0_hi)
-        if mode == PROVER:
-            wv_lo = jnp.take(wz_lo, w["zwit"], axis=0)
-            wv_hi = jnp.take(wz_hi, w["zwit"], axis=0)
-            in_clo, in_chi = up.sub64(wv_lo, wv_hi, r_lo, r_hi)
-        elif mode == VERIFY_ONL:
-            in_clo = jnp.take(inz_lo, w["zinrec"], axis=0)
-            in_chi = jnp.take(inz_hi, w["zinrec"], axis=0)
-        else:
-            in_clo, in_chi = zero2, zero2
+        # mask/corr select entries accumulate per present kind
+        m_conds, m_lo, m_hi = [], [], []  # (Wz, R, 8) mask selection
+        c_conds, c_lo, c_hi = [], [], []  # (Wz, R) corr selection
 
-        # ---- ADD / SUB / const families -------------------------------
-        addm_lo, addm_hi = up.add64(am_lo, am_hi, bm_lo, bm_hi)
-        subm_lo, subm_hi = up.sub64(am_lo, am_hi, bm_lo, bm_hi)
-        addc_lo, addc_hi = up.add64(ac_lo, ac_hi, bc_lo, bc_hi)
-        subc_lo, subc_hi = up.sub64(ac_lo, ac_hi, bc_lo, bc_hi)
-        addk_lo, addk_hi = up.add64(ac_lo, ac_hi, k_lo, k_hi)
-        subk_lo, subk_hi = up.sub64(ac_lo, ac_hi, k_lo, k_hi)
-        mulcm_lo, mulcm_hi = up.mul64(
-            am_lo, am_hi, k_lo[..., None], k_hi[..., None]
-        )
-        mulcc_lo, mulcc_hi = up.mul64(ac_lo, ac_hi, k_lo, k_hi)
-
-        # ---- MUL ------------------------------------------------------
-        ra_lo, ra_hi = _recon_sum(am_lo, am_hi)
-        rb_lo, rb_hi = _recon_sum(bm_lo, bm_hi)
-        rc_lo, rc_hi = _recon_sum(t0_lo, t0_hi)
-        if mode == VERIFY_ONL:
-            d_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
-            d_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
-        else:
-            p_lo, p_hi = up.mul64(ra_lo, ra_hi, rb_lo, rb_hi)
-            d_lo, d_hi = up.sub64(p_lo, p_hi, rc_lo, rc_hi)
-        s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[..., None], ac_hi[..., None])
-        s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[..., None], bc_hi[..., None])
-        s_lo, s_hi = up.add64(s1_lo, s1_hi, s2_lo, s2_hi)
-        s_lo, s_hi = up.add64(s_lo, s_hi, t0_lo, t0_hi)
-        s_lo, s_hi = up.sub64(s_lo, s_hi, t1_lo, t1_hi)
-        if mode == VERIFY_ONL:
+        if mode == VERIFY_ONL and zh(G_MUL, G_ASSERT):
             rz_lo = jnp.take(rez_lo, w["zrec"], axis=0)
             rz_hi = jnp.take(rez_hi, w["zrec"], axis=0)
-            s_lo, s_hi = up.add64(s_lo, s_hi, rz_lo, rz_hi)
-        if mode != VERIFY_PRE:
-            sr_lo, sr_hi = _recon_sum(s_lo, s_hi)
-            re_lo, re_hi = up.add64(sr_lo, sr_hi, d_lo, d_hi)
-        else:
-            re_lo, re_hi = zero2, zero2
-        pc_lo, pc_hi = up.mul64(ac_lo, ac_hi, bc_lo, bc_hi)
-        mulc2_lo, mulc2_hi = up.add64(re_lo, re_hi, pc_lo, pc_hi)
+        if zh(G_INPUT, B2A_CORR):
+            r_lo, r_hi = _recon_sum(t0_lo, t0_hi)
+
+        # ---- INPUT ----------------------------------------------------
+        if zh(G_INPUT):
+            if mode == PROVER:
+                wv_lo = jnp.take(wz_lo, w["zwit"], axis=0)
+                wv_hi = jnp.take(wz_hi, w["zwit"], axis=0)
+                in_clo, in_chi = up.sub64(wv_lo, wv_hi, r_lo, r_hi)
+            elif mode == VERIFY_ONL:
+                in_clo = jnp.take(inz_lo, w["zinrec"], axis=0)
+                in_chi = jnp.take(inz_hi, w["zinrec"], axis=0)
+            else:
+                in_clo, in_chi = zero2, zero2
+            m_conds.append(op3 == G_INPUT)
+            m_lo.append(t0_lo)
+            m_hi.append(t0_hi)
+            c_conds.append(op2 == G_INPUT)
+            c_lo.append(in_clo)
+            c_hi.append(in_chi)
+
+        # ---- ADD / SUB / const families -------------------------------
+        if zh(G_ADD):
+            lo, hi = up.add64(am_lo, am_hi, bm_lo, bm_hi)
+            m_conds.append(op3 == G_ADD)
+            m_lo.append(lo)
+            m_hi.append(hi)
+            clo, chi = up.add64(ac_lo, ac_hi, bc_lo, bc_hi)
+            c_conds.append(op2 == G_ADD)
+            c_lo.append(clo)
+            c_hi.append(chi)
+        if zh(Z_SUB):
+            lo, hi = up.sub64(am_lo, am_hi, bm_lo, bm_hi)
+            m_conds.append(op3 == Z_SUB)
+            m_lo.append(lo)
+            m_hi.append(hi)
+            clo, chi = up.sub64(ac_lo, ac_hi, bc_lo, bc_hi)
+            c_conds.append(op2 == Z_SUB)
+            c_lo.append(clo)
+            c_hi.append(chi)
+        if zh(G_ADDC, G_SUBC):
+            m_conds.append((op3 == G_ADDC) | (op3 == G_SUBC))
+            m_lo.append(am_lo)
+            m_hi.append(am_hi)
+            if zh(G_ADDC):
+                clo, chi = up.add64(ac_lo, ac_hi, k_lo, k_hi)
+                c_conds.append(op2 == G_ADDC)
+                c_lo.append(clo)
+                c_hi.append(chi)
+            if zh(G_SUBC):
+                clo, chi = up.sub64(ac_lo, ac_hi, k_lo, k_hi)
+                c_conds.append(op2 == G_SUBC)
+                c_lo.append(clo)
+                c_hi.append(chi)
+        if zh(G_MULC):
+            lo, hi = up.mul64(am_lo, am_hi, k_lo[..., None], k_hi[..., None])
+            m_conds.append(op3 == G_MULC)
+            m_lo.append(lo)
+            m_hi.append(hi)
+            clo, chi = up.mul64(ac_lo, ac_hi, k_lo, k_hi)
+            c_conds.append(op2 == G_MULC)
+            c_lo.append(clo)
+            c_hi.append(chi)
+        if zh(G_CONST):
+            c_conds.append(op2 == G_CONST)
+            c_lo.append(k_lo)
+            c_hi.append(k_hi)
+        if zh(G_RANDOM):
+            m_conds.append(op3 == G_RANDOM)
+            m_lo.append(t0_lo)
+            m_hi.append(t0_hi)
+
+        # ---- MUL ------------------------------------------------------
+        if zh(G_MUL):
+            t1_lo = jnp.take(tz_lo, w["zt1"], axis=0)
+            t1_hi = jnp.take(tz_hi, w["zt1"], axis=0)
+            if mode == VERIFY_ONL:
+                d_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
+                d_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
+            else:
+                ra_lo, ra_hi = _recon_sum(am_lo, am_hi)
+                rb_lo, rb_hi = _recon_sum(bm_lo, bm_hi)
+                rc_lo, rc_hi = _recon_sum(t0_lo, t0_hi)
+                p_lo, p_hi = up.mul64(ra_lo, ra_hi, rb_lo, rb_hi)
+                d_lo, d_hi = up.sub64(p_lo, p_hi, rc_lo, rc_hi)
+            s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[..., None], ac_hi[..., None])
+            s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[..., None], bc_hi[..., None])
+            s_lo, s_hi = up.add64(s1_lo, s1_hi, s2_lo, s2_hi)
+            s_lo, s_hi = up.add64(s_lo, s_hi, t0_lo, t0_hi)
+            s_lo, s_hi = up.sub64(s_lo, s_hi, t1_lo, t1_hi)
+            if mode == VERIFY_ONL:
+                s_lo, s_hi = up.add64(s_lo, s_hi, rz_lo, rz_hi)
+            if mode != VERIFY_PRE:
+                sr_lo, sr_hi = _recon_sum(s_lo, s_hi)
+                re_lo, re_hi = up.add64(sr_lo, sr_hi, d_lo, d_hi)
+            else:
+                re_lo, re_hi = zero2, zero2
+            pc_lo, pc_hi = up.mul64(ac_lo, ac_hi, bc_lo, bc_hi)
+            clo, chi = up.add64(re_lo, re_hi, pc_lo, pc_hi)
+            m_conds.append(op3 == G_MUL)
+            m_lo.append(t1_lo)
+            m_hi.append(t1_hi)
+            c_conds.append(op2 == G_MUL)
+            c_lo.append(clo)
+            c_hi.append(chi)
 
         # ---- ASSERT ---------------------------------------------------
-        sa_lo, sa_hi = am_lo, am_hi
-        if mode == VERIFY_ONL:
-            sa_lo, sa_hi = up.add64(sa_lo, sa_hi, rz_lo, rz_hi)
-        if mode != VERIFY_PRE:
-            ar_lo, ar_hi = _recon_sum(sa_lo, sa_hi)
-            av_lo, av_hi = up.add64(ar_lo, ar_hi, ac_lo, ac_hi)
-            a_bad = jnp.any(
-                ((av_lo | av_hi) != 0) & (op2 == G_ASSERT), axis=0
-            )
-            fail = fail | a_bad
+        if zh(G_ASSERT):
+            sa_lo, sa_hi = am_lo, am_hi
+            if mode == VERIFY_ONL:
+                sa_lo, sa_hi = up.add64(sa_lo, sa_hi, rz_lo, rz_hi)
+            if mode != VERIFY_PRE:
+                ar_lo, ar_hi = _recon_sum(sa_lo, sa_hi)
+                av_lo, av_hi = up.add64(ar_lo, ar_hi, ac_lo, ac_hi)
+                a_bad = jnp.any(
+                    ((av_lo | av_hi) != 0) & (op2 == G_ASSERT), axis=0
+                )
+                fail = fail | a_bad
 
         # ---- B2A ------------------------------------------------------
-        bits_m = jnp.take(mask2, w["bbits"], axis=0)  # (Wz, 64, R) u8
-        bits_c = jnp.take(corr2, w["bbits"], axis=0)
-        # B2A_CORR: compose the 64 fresh mask bits -> r's mask correction
-        cb = _parity8(bits_m)
-        cv_lo, cv_hi = _compose_bits(cb)
-        if mode == VERIFY_ONL:
-            bcc_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
-            bcc_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
-        else:
-            bcc_lo, bcc_hi = up.sub64(cv_lo, cv_hi, r_lo, r_hi)
-        # B2A_OUT: 64 gf2 bit reconstructions -> z64 value
-        sb = bits_m
-        if mode == VERIFY_ONL:
-            sb = sb ^ jnp.take(re2, w["brec"], axis=0)
-        if mode != VERIFY_PRE:
-            ob = _parity8(sb) ^ bits_c
-        else:
-            ob = bits_c
-        ov_lo, ov_hi = _compose_bits(ob)
-        zr_mlo = jnp.take(mzlo, w["zzr"], axis=0)
-        zr_mhi = jnp.take(mzhi, w["zzr"], axis=0)
-        zr_clo = jnp.take(czlo, w["zzr"], axis=0)
-        zr_chi = jnp.take(czhi, w["zzr"], axis=0)
-        bout_mlo, bout_mhi = up.neg64(zr_mlo, zr_mhi)
-        bout_clo, bout_chi = up.sub64(ov_lo, ov_hi, zr_clo, zr_chi)
+        if zh(B2A_CORR, B2A_OUT):
+            bits_m = jnp.take(mask2, w["bbits"], axis=0)  # (Wz, 64, R) u8
+        if zh(B2A_CORR):
+            # compose the 64 fresh mask bits -> r's mask correction
+            cb = _parity8(bits_m)
+            cv_lo, cv_hi = _compose_bits(cb)
+            if mode == VERIFY_ONL:
+                bcc_lo = jnp.take(coz_lo, w["zcorr"], axis=0)
+                bcc_hi = jnp.take(coz_hi, w["zcorr"], axis=0)
+            else:
+                bcc_lo, bcc_hi = up.sub64(cv_lo, cv_hi, r_lo, r_hi)
+            m_conds.append(op3 == B2A_CORR)
+            m_lo.append(t0_lo)
+            m_hi.append(t0_hi)
+            c_conds.append(op2 == B2A_CORR)
+            c_lo.append(bcc_lo)
+            c_hi.append(bcc_hi)
+        if zh(B2A_OUT):
+            # 64 gf2 bit reconstructions -> z64 value
+            bits_c = jnp.take(corr2, w["bbits"], axis=0)
+            sb = bits_m
+            if mode == VERIFY_ONL:
+                sb = sb ^ jnp.take(re2, w["brec"], axis=0)
+            if mode != VERIFY_PRE:
+                ob = _parity8(sb) ^ bits_c
+            else:
+                ob = bits_c
+            ov_lo, ov_hi = _compose_bits(ob)
+            zr_mlo = jnp.take(mzlo, w["zzr"], axis=0)
+            zr_mhi = jnp.take(mzhi, w["zzr"], axis=0)
+            zr_clo = jnp.take(czlo, w["zzr"], axis=0)
+            zr_chi = jnp.take(czhi, w["zzr"], axis=0)
+            lo, hi = up.neg64(zr_mlo, zr_mhi)
+            clo, chi = up.sub64(ov_lo, ov_hi, zr_clo, zr_chi)
+            m_conds.append(op3 == B2A_OUT)
+            m_lo.append(lo)
+            m_hi.append(hi)
+            c_conds.append(op2 == B2A_OUT)
+            c_lo.append(clo)
+            c_hi.append(chi)
 
-        # ---- result selection ----------------------------------------
-        conds3 = [op3 == G_INPUT, op3 == G_ADD, op3 == Z_SUB,
-                  (op3 == G_ADDC) | (op3 == G_SUBC), op3 == G_MULC,
-                  op3 == G_MUL, op3 == G_RANDOM, op3 == B2A_CORR,
-                  op3 == B2A_OUT]
-        mask_new_lo = jnp.select(
-            conds3,
-            [t0_lo, addm_lo, subm_lo, am_lo, mulcm_lo, t1_lo, t0_lo,
-             t0_lo, bout_mlo],
-            jnp.zeros_like(am_lo),
-        )
-        mask_new_hi = jnp.select(
-            conds3,
-            [t0_hi, addm_hi, subm_hi, am_hi, mulcm_hi, t1_hi, t0_hi,
-             t0_hi, bout_mhi],
-            jnp.zeros_like(am_hi),
-        )
-        conds2 = [op2 == G_INPUT, op2 == G_ADD, op2 == Z_SUB,
-                  op2 == G_ADDC, op2 == G_SUBC, op2 == G_MULC,
-                  op2 == G_MUL, op2 == G_CONST, op2 == B2A_CORR,
-                  op2 == B2A_OUT]
-        corr_new_lo = jnp.select(
-            conds2,
-            [in_clo, addc_lo, subc_lo, addk_lo, subk_lo, mulcc_lo,
-             mulc2_lo, k_lo, bcc_lo, bout_clo],
-            zero2,
-        )
-        corr_new_hi = jnp.select(
-            conds2,
-            [in_chi, addc_hi, subc_hi, addk_hi, subk_hi, mulcc_hi,
-             mulc2_hi, k_hi, bcc_hi, bout_chi],
-            zero2,
-        )
+        # ---- result selection + scatters ------------------------------
+        z3 = jnp.zeros_like(am_lo)
+        mask_new_lo = jnp.select(m_conds, m_lo, z3) if m_conds else z3
+        mask_new_hi = jnp.select(m_conds, m_hi, z3) if m_conds else z3
+        corr_new_lo = jnp.select(c_conds, c_lo, zero2) if c_conds else zero2
+        corr_new_hi = jnp.select(c_conds, c_hi, zero2) if c_conds else zero2
 
-        # ---- scatters -------------------------------------------------
         upd = jax.lax.optimization_barrier(
             (mask_new_lo, mask_new_hi, corr_new_lo, corr_new_hi)
         )
@@ -377,31 +442,50 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
         czhi = czhi.at[w["zdst"]].set(upd[3])
 
         # prez events (8 bytes): MUL delta / B2A_CORR correction
-        pe_lo = jnp.where(op2 == B2A_CORR, bcc_lo, d_lo)
-        pe_hi = jnp.where(op2 == B2A_CORR, bcc_hi, d_hi)
-        pre8 = jnp.stack(up.le_bytes(pe_lo, pe_hi), axis=1)  # (Wz, 8, R)
-        pre8 = jax.lax.optimization_barrier(pre8)
-        prez = prez.at[w["zpre"].reshape(-1)].set(pre8.reshape(-1, R))
+        if zh(G_MUL) or zh(B2A_CORR):
+            if zh(G_MUL) and zh(B2A_CORR):
+                pe_lo = jnp.where(op2 == B2A_CORR, bcc_lo, d_lo)
+                pe_hi = jnp.where(op2 == B2A_CORR, bcc_hi, d_hi)
+            elif zh(B2A_CORR):
+                pe_lo, pe_hi = bcc_lo, bcc_hi
+            else:
+                pe_lo, pe_hi = d_lo, d_hi
+            pre8 = jnp.stack(up.le_bytes(pe_lo, pe_hi), axis=1)  # (Wz, 8, R)
+            pre8 = jax.lax.optimization_barrier(pre8)
+            prez = prez.at[w["zpre"].reshape(-1)].set(pre8.reshape(-1, R))
 
         if mode != VERIFY_PRE:
             # onlz events (64 rows): share bytes (MUL/ASSERT) or the
             # 8-byte input correction (first 8 rows; rest go to trash)
-            se_lo = jnp.where(op3 == G_ASSERT, sa_lo, s_lo)
-            se_hi = jnp.where(op3 == G_ASSERT, sa_hi, s_hi)
-            sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=-1)  # (Wz,R,8p,8b)
-            sh64 = jnp.moveaxis(sh64, 1, -1).reshape(Wz, 64, R)
-            in8 = jnp.stack(up.le_bytes(in_clo, in_chi), axis=1)  # (Wz,8,R)
-            in64 = jnp.concatenate(
-                [in8, jnp.zeros((Wz, 56, R), U8)], axis=1
-            )
-            val64 = jnp.where(op3 == G_INPUT, in64, sh64)
-            val64 = jax.lax.optimization_barrier(val64)
-            onlz = onlz.at[w["zonl"].reshape(-1)].set(val64.reshape(-1, R))
-            # B2A_OUT writes its 64 bit-reconstruction events into the
-            # GF2 online stream
-            sb_w = jnp.where(op3 == B2A_OUT, sb, jnp.zeros_like(sb))
-            sb_w = jax.lax.optimization_barrier(sb_w)
-            onl2 = onl2.at[w["bonl"].reshape(-1)].set(sb_w.reshape(-1, R))
+            if zh(G_MUL, G_ASSERT, G_INPUT):
+                val64 = None
+                if zh(G_MUL, G_ASSERT):
+                    if zh(G_MUL) and zh(G_ASSERT):
+                        se_lo = jnp.where(op3 == G_ASSERT, sa_lo, s_lo)
+                        se_hi = jnp.where(op3 == G_ASSERT, sa_hi, s_hi)
+                    elif zh(G_ASSERT):
+                        se_lo, se_hi = sa_lo, sa_hi
+                    else:
+                        se_lo, se_hi = s_lo, s_hi
+                    sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=-1)
+                    val64 = jnp.moveaxis(sh64, 1, -1).reshape(Wz, 64, R)
+                if zh(G_INPUT):
+                    in8 = jnp.stack(up.le_bytes(in_clo, in_chi), axis=1)
+                    in64 = jnp.concatenate(
+                        [in8, jnp.zeros((Wz, 56, R), U8)], axis=1
+                    )
+                    val64 = (
+                        in64 if val64 is None
+                        else jnp.where(op3 == G_INPUT, in64, val64)
+                    )
+                val64 = jax.lax.optimization_barrier(val64)
+                onlz = onlz.at[w["zonl"].reshape(-1)].set(val64.reshape(-1, R))
+            if zh(B2A_OUT):
+                # B2A_OUT writes its 64 bit-reconstruction events into the
+                # GF2 online stream
+                sb_w = jnp.where(op3 == B2A_OUT, sb, jnp.zeros_like(sb))
+                sb_w = jax.lax.optimization_barrier(sb_w)
+                onl2 = onl2.at[w["bonl"].reshape(-1)].set(sb_w.reshape(-1, R))
 
         return (mzlo, mzhi, czlo, czhi, onlz, prez, mask2, corr2, onl2,
                 fail)
