@@ -1,9 +1,15 @@
-"""Round-2 continuation #3 (single TPU process):
+"""Round-2 continuation #3 (single TPU process) -- queued HW battery:
 
+4. AES tape kernel variants (unrolled rounds x tile_b sweep)
 1. blake3 hash_columns microbench (16-var compress vs previous 0.065 s at
-   the 1M-prove transcript shape) + 1M prove phase profile
+   the 1M-prove transcript shape) + 1M prove phase profile + prove_many
+3. prove_batch N=8/N=16 re-verify
 2. 16M-gate streamed prove + streamed verify (re-measure after round-2b
    deferred pulls + Pallas start-block windows)
+
+Then run the round-2c capability benches (scan executor z64/B2A + deep
+streaming):  python bench_suite.py z64_deep sha256_long
+And the headline:  python bench.py   (writes .bench_last_measured.json)
 """
 import os
 import sys
