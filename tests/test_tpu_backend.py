@@ -386,3 +386,21 @@ def test_scan_vs_unrolled_randomized(seed, monkeypatch):
     tpu_proof = sys_.prove(wit2, witz, seeds=s)
     assert tpu_proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(tpu_proof)
+
+
+@pytest.mark.parametrize("name,mk", [
+    ("empty", lambda: []),
+    ("const_only", lambda: [CombineOp.gf2(Gate(Op.CONST, dst=0, const=1))]),
+    ("zconst_only", lambda: [CombineOp.z64(Gate(Op.CONST, dst=0, const=7))]),
+])
+def test_degenerate_programs(name, mk):
+    """Empty / constant-only programs produce valid (trivial) proofs that
+    both verifiers accept, byte-identical across backends."""
+    prog = mk()
+    s = seeds256()
+    cpu_proof = cpu_prove(prog, [], [], seeds=s.reshape(32, 8, 16))
+    sys_ = TpuKKW(prog)
+    proof = sys_.prove([], [], seeds=s)
+    assert proof.to_bytes() == cpu_proof.to_bytes()
+    assert sys_.verify(proof)
+    assert cpu_verify(proof, prog)
