@@ -103,3 +103,24 @@ def test_nondefault_params_roundtrip():
 
     # a verifier configured for the reference parameters must reject
     assert not verify(proof, prog)
+
+
+def test_nondefault_params_deep_scan_circuit():
+    """Non-default repetition counts through the lax.scan executor (deep
+    circuit): the scan trace config carries R, so smaller instances share
+    none of the default-R compiles but stay byte-identical to the golden
+    backend."""
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.backend.tpu_scan import ScanExecutor
+    from reverie_tpu.circuit.builders import wide_and_circuit
+    from reverie_tpu.params import ProtocolParams
+
+    params = ProtocolParams(online_reps=16, total_reps=64)
+    prog, wit2, witz = wide_and_circuit(400, width=4, seed=2)
+    seeds = np.random.RandomState(4).randint(0, 256, size=(8, 8, 16), dtype=np.uint8)
+    proof = prove(prog, wit2, witz, seeds=seeds, params=params)
+    sys_ = TpuKKW(prog, params=params)
+    assert isinstance(sys_._executor(0, 64), ScanExecutor)
+    tproof = sys_.prove(wit2, witz, seeds=seeds.reshape(64, 16))
+    assert tproof.to_bytes() == proof.to_bytes()
+    assert sys_.verify(tproof)
