@@ -90,9 +90,11 @@ def _backend_system(program, backend: str, segment_ops: int = 0):
 
         return StreamingKKW(program, segment_ops)
     if backend == "tpu":
-        from .backend.tpu_host import TpuKKW
+        # auto-selects streaming segmentation when the circuit's device
+        # footprint exceeds the HBM budget (REVERIE_HBM_BUDGET)
+        from . import make_system
 
-        return TpuKKW(program)
+        return make_system(program)
     return None  # cpu golden backend uses module functions
 
 

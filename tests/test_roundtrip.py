@@ -124,3 +124,26 @@ def test_nondefault_params_deep_scan_circuit():
     tproof = sys_.prove(wit2, witz, seeds=seeds.reshape(64, 16))
     assert tproof.to_bytes() == proof.to_bytes()
     assert sys_.verify(tproof)
+
+
+def test_make_system_auto_streaming():
+    """reverie_tpu.make_system returns the in-HBM prover for small circuits
+    and a streaming prover (segment size fitted to the budget) for circuits
+    whose footprint exceeds it; both byte-identical."""
+    from reverie_tpu import make_system
+    from reverie_tpu.backend.streaming import StreamingKKW
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.builders import mul_bench_circuit
+
+    prog, wit2, witz = mul_bench_circuit(50)
+    s = np.random.RandomState(7).randint(0, 256, size=(256, 16), dtype=np.uint8)
+    small = make_system(prog)
+    assert isinstance(small, TpuKKW)
+    base = small.prove(wit2, witz, seeds=s)
+    # tiny budget forces streaming
+    big = make_system(prog, hbm_budget_bytes=20_000)
+    assert isinstance(big, StreamingKKW)
+    assert len(big.segments) > 1
+    proof = big.prove(wit2, witz, seeds=s)
+    assert proof.to_bytes() == base.to_bytes()
+    assert big.verify(proof)
