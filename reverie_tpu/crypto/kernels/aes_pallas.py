@@ -225,6 +225,7 @@ def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, rkp_ref, mask_ref,
     rk10 = rkp_ref[10]
     mask = mask_ref[0][None, :]  # (1, Kw)
     m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
+    kwr = Kw // bpr
     for by in range(16):
         for j in range(8):
             # tape index b*128 + by*8 + j reads keystream bit (7-j)
@@ -233,7 +234,17 @@ def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, rkp_ref, mask_ref,
             w = ((w & m1) << 1) | ((w >> 1) & m1)
             w = ((w & m2_) << 2) | ((w >> 2) & m2_)
             w = ((w & m4) << 4) | ((w >> 4) & m4)
-            out_ref[:, by, j] = w & mask
+            w = w & mask
+            if bpr > 1:
+                # de-interleave the lane groups in-kernel: block t*bpr + g
+                # lives in lanes [g*kwr, (g+1)*kwr); storing block-major here
+                # keeps the XLA tail a pure reshape (a post-kernel moveaxis
+                # transposes a >= GiB temp whose minor dims pad 16x in HBM
+                # at streaming-segment sizes -- 64 GiB alloc at B=32768)
+                for g in range(bpr):
+                    out_ref[:, g, by, j] = w[:, g * kwr : (g + 1) * kwr]
+            else:
+                out_ref[:, by, j] = w
 
 
 def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
@@ -271,9 +282,22 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
         tile_b //= 2
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     grid = (Bp // tile_b, L // kwt)
+    if bpr > 1:
+        # block-major output written in-kernel: (t, g, by, j, k) is counter
+        # block t*bpr + g, key k -- already row-major tape order, so the
+        # tail below is a free reshape (no transpose of a huge temp)
+        out_shape = jax.ShapeDtypeStruct((Bp // bpr, bpr, 16, 8, Kw), jnp.uint32)
+        out_specs = pl.BlockSpec((tile_b // bpr, bpr, 16, 8, Kw),
+                                 lambda i, k: (i, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((Bp, 16, 8, L), jnp.uint32)
+        out_specs = pl.BlockSpec((tile_b, 16, 8, kwt),
+                                 lambda i, k: (i, 0, 0, k),
+                                 memory_space=pltpu.VMEM)
     words = pl.pallas_call(
         functools.partial(_aes_tape_kernel, tile_b, bpr, unroll),
-        out_shape=jax.ShapeDtypeStruct((Bp // bpr, 16, 8, L), jnp.uint32),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((11, 16, 8, kwt), lambda i, k: (0, 0, 0, k),
@@ -282,17 +306,12 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tile_b // bpr, 16, 8, kwt),
-                               lambda i, k: (i, 0, 0, k),
-                               memory_space=pltpu.VMEM),
         interpret=interpret,
+        out_specs=out_specs,
     )(rkp, mask2d, jnp.asarray(start_block, jnp.int32).reshape(1))
-    if bpr > 1:
-        # de-interleave lane groups back to block-major order: element
-        # (t, by, j, g*Kw + k) is counter block t*bpr + g, key k
-        words = jnp.moveaxis(
-            words.reshape(Bp // bpr, 16, 8, bpr, Kw), 3, 1
-        ).reshape(Bp, 16, 8, Kw)
-    # (Bp,16,8,Kw) u32 -> rows of tape bytes; plain reshape + bitcast only
-    by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp,16,8,Kw,4)
+    # contiguous flatten to rows first, then the exact aes_jax byte-split
+    # tail (2-D bitcast): bitcasting the 4/5-D form makes XLA's layout pass
+    # materialize a transposed padded temp (64 GiB at B=32768)
+    words = words.reshape(Bp * 128, Kw)
+    by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp*128, Kw, 4)
     return by.reshape(Bp * 128, Kw * 4)[: B * 128]

@@ -24,7 +24,7 @@ def _keys(R: int) -> np.ndarray:
     return expand_seeds(seeds).reshape(R, 8, 16)
 
 
-@pytest.mark.parametrize("n_blocks,R", [(32, 32), (48, 32), (32, 256)])
+@pytest.mark.parametrize("n_blocks,R", [(16, 32), (24, 32), (32, 256)])
 def test_pallas_tape_matches_host_golden(n_blocks, R):
     # R=32 -> Kw=8 (bpr=16 lane packing); R=256 -> Kw=64 (bpr=2, the
     # single-proof headline shape)
@@ -47,8 +47,8 @@ def test_pallas_tape_start_block_windows():
     pk = _keys(R)
     rkp = aj.round_key_planes(pk.reshape(-1, 16))
     mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
-    golden, _, _ = build_tapes(pk, None, 96 * 128, 0)  # (m2, R)
-    for b0, nb in [(32, 32), (48, 48)]:
+    golden, _, _ = build_tapes(pk, None, 48 * 128, 0)  # (m2, R)
+    for b0, nb in [(16, 16), (24, 24)]:
         tape = np.asarray(
             aes_ctr_tape_gf2_pallas(
                 rkp, nb, mask, start_block=np.int32(b0), tile_b=16,
@@ -64,10 +64,10 @@ def test_pallas_tape_lane_mask_omits_players():
     rkp = aj.round_key_planes(pk.reshape(-1, 16))
     omit = np.arange(R) % 9  # player 0..7 plus "none" (8)
     mask = aj.lane_mask_from_omit(omit, R)
-    m2 = 32 * 128
+    m2 = 16 * 128
     golden, _, _ = build_tapes(pk, omit, m2, 0)
     tape = np.asarray(
-        aes_ctr_tape_gf2_pallas(rkp, 32, mask, tile_b=16, interpret=True)
+        aes_ctr_tape_gf2_pallas(rkp, 16, mask, tile_b=16, interpret=True)
     )[:m2]
     np.testing.assert_array_equal(tape, golden)
 
