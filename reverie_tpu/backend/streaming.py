@@ -202,9 +202,13 @@ class StreamingKKW:
             rows = self._bitx["aesp"](rkp, nblocks, mask, np.int32(b0))
         else:
             if "aes" not in self._bitx:
-                self._bitx["aes"] = jax.jit(aj.aes_ctr_tape_gf2)
-            ctrp = aj.counter_planes(nblocks, start_block=b0)
-            rows = self._bitx["aes"](rkp, jnp.asarray(ctrp), mask)
+                def _afn(rkp_, nb, start, mask_):
+                    return aj.aes_ctr_tape_gf2(
+                        rkp_, aj.counter_planes_device(nb, start), mask_
+                    )
+
+                self._bitx["aes"] = jax.jit(_afn, static_argnums=(1,))
+            rows = self._bitx["aes"](rkp, nblocks, np.int32(b0), mask)
         off = seg.tape0 - b0 * BATCH
         return rows[off : off + m2s]
 
@@ -298,15 +302,24 @@ class StreamingKKW:
         b1 = (seg.tapez0 + mzs + BATCH - 1) // BATCH
         B = (b1 - b0) * (Z64_BATCH_BYTES // 16)
         if "aesz" not in self._bitx:
-            self._bitx["aesz"] = jax.jit(aj.aes_ctr_tape_z64_chunked)
-        rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
-        ctrp = aj.counter_planes(B, start_block=b0 * (Z64_BATCH_BYTES // 16))
+            # keys uploaded raw; round keys + counter planes expand on device
+            # (static block count, traced start: uniform segments share one
+            # compile and skip the per-segment ctrp/rkp transfers)
+            def _zfn(keys, nb, start, mask):
+                return aj.aes_ctr_tape_z64_chunked(
+                    aj.round_key_planes_device(keys),
+                    aj.counter_planes_device(nb, start),
+                    mask,
+                )
+
+            self._bitx["aesz"] = jax.jit(_zfn, static_argnums=(1,))
         if omit is None:
             maskz = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
             maskz = aj.lane_mask_raw(omit, R)
         lo, hi = self._bitx["aesz"](
-            jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(maskz)
+            jnp.asarray(player_keys.reshape(-1, KEY_SIZE)), B,
+            np.int32(b0 * (Z64_BATCH_BYTES // 16)), jnp.asarray(maskz)
         )
         off = seg.tapez0 - b0 * BATCH
         return lo[off : off + mzs], hi[off : off + mzs]
@@ -444,7 +457,7 @@ class StreamingKKW:
         if jax.default_backend() == "tpu" and (R * 8) % 32 == 0:
             from ..crypto.kernels import aes_jax as aj
 
-            rkp = jnp.asarray(aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE)))
+            rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             mask = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
 
         # ---- pass 1: execute + absorb + discard ---------------------------
@@ -655,7 +668,7 @@ class StreamingKKW:
         if jax.default_backend() == "tpu" and (Ro * 8) % 32 == 0:
             from ..crypto.kernels import aes_jax as aj
 
-            rkp = jnp.asarray(aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE)))
+            rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             mask = jnp.asarray(aj.lane_mask_from_omit(omit, Ro))
 
         onl_h = ColumnHasher(self.onl_total, Ro)
@@ -729,7 +742,7 @@ class StreamingKKW:
             if jax.default_backend() == "tpu" and (Rp * 8) % 32 == 0:
                 from ..crypto.kernels import aes_jax as aj
 
-                rkp_p = jnp.asarray(aj.round_key_planes(pk2.reshape(-1, KEY_SIZE)))
+                rkp_p = aj.rkp_on_device(pk2.reshape(-1, KEY_SIZE))
                 mask_p = jnp.asarray(np.full(Rp * 8 // 32, 0xFFFFFFFF, np.uint32))
 
         pre_hp = ColumnHasher(self.pre_total, Rp)

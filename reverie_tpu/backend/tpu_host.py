@@ -440,28 +440,33 @@ class TpuKKW:
         )
         # cache key includes the kernel choice: prove() (R=256) and
         # prove_batch() (R=N*256) may pick different kernels with different
-        # call conventions on one TpuKKW instance
+        # call conventions on one TpuKKW instance.  Both paths upload only
+        # the raw 16-byte keys and run the AES key schedule (and counter
+        # planes) on device: the (11,16,8,Kw) round-key tensor is 45x larger
+        # than the keys and its transfer dominated prove_batch's tape phase.
         fn_key = ("aes", use_pallas)
         if fn_key not in self._hash_fns:
             if use_pallas:
                 from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
 
-                self._hash_fns[fn_key] = jax.jit(
-                    aes_ctr_tape_gf2_pallas, static_argnums=(1,)
-                )
+                def fn(keys, nb, mask):
+                    return aes_ctr_tape_gf2_pallas(
+                        aj.round_key_planes_device(keys), nb, mask
+                    )
             else:
-                self._hash_fns[fn_key] = jax.jit(aj.aes_ctr_tape_gf2)
-        rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
+                def fn(keys, nb, mask):
+                    return aj.aes_ctr_tape_gf2(
+                        aj.round_key_planes_device(keys),
+                        aj.counter_planes_device(nb),
+                        mask,
+                    )
+            self._hash_fns[fn_key] = jax.jit(fn, static_argnums=(1,))
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
             mask = aj.lane_mask_from_omit(omit, R)
-        if use_pallas:
-            return self._hash_fns[fn_key](jnp.asarray(rkp), nblocks, jnp.asarray(mask))
-        ctrp = aj.counter_planes(nblocks)
-        return self._hash_fns[fn_key](
-            jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
-        )
+        keys = jnp.asarray(player_keys.reshape(-1, KEY_SIZE))
+        return self._hash_fns[fn_key](keys, nblocks, jnp.asarray(mask))
 
     def _z64_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
         """Z64 mask tape via the bitsliced device AES kernel (host AES for
@@ -480,18 +485,21 @@ class TpuKKW:
         from ..crypto.kernels import aes_jax as aj
 
         if "aesz" not in self._hash_fns:
-            self._hash_fns["aesz"] = jax.jit(aj.aes_ctr_tape_z64_chunked)
+            def zfn(keys, nb, mask):
+                return aj.aes_ctr_tape_z64_chunked(
+                    aj.round_key_planes_device(keys),
+                    aj.counter_planes_device(nb),
+                    mask,
+                )
+            self._hash_fns["aesz"] = jax.jit(zfn, static_argnums=(1,))
         nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
         B = nbytes // 16
-        rkp = aj.round_key_planes(player_keys.reshape(-1, KEY_SIZE))
-        ctrp = aj.counter_planes(B)
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
             mask = aj.lane_mask_raw(omit, R)
-        return self._hash_fns["aesz"](
-            jnp.asarray(rkp), jnp.asarray(ctrp), jnp.asarray(mask)
-        )
+        keys = jnp.asarray(player_keys.reshape(-1, KEY_SIZE))
+        return self._hash_fns["aesz"](keys, B, jnp.asarray(mask))
 
     def _hash_fn(self, with_comm: bool):
         """Jitted device transcript-hash pipeline.
@@ -641,13 +649,20 @@ class TpuKKW:
             raise AssertionError("witness is too short")
         wl, wh = up.from_u64(witz[: cc.n_witz])
 
+        if "wit_bcast" not in self._hash_fns:
+            import jax
+            import jax.numpy as _jnp
+
+            self._hash_fns["wit_bcast"] = jax.jit(
+                lambda w, r: _jnp.repeat(w, r, axis=1), static_argnums=(1,)
+            )
+        bc = self._hash_fns["wit_bcast"]
         inp = dict(
             tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
-            wit2=np.ascontiguousarray(
-                np.broadcast_to(wit2[: cc.n_wit2, None], (cc.n_wit2, R))
-            ),
-            witz_lo=np.ascontiguousarray(np.broadcast_to(wl[:, None], (cc.n_witz, R))),
-            witz_hi=np.ascontiguousarray(np.broadcast_to(wh[:, None], (cc.n_witz, R))),
+            # upload one witness column; broadcast to R lanes on device
+            wit2=bc(wit2[: cc.n_wit2, None], R),
+            witz_lo=bc(wl[:, None], R),
+            witz_hi=bc(wh[:, None], R),
         )
         if self.mesh is not None:
             from ..parallel.mesh import shard_inputs
@@ -857,19 +872,30 @@ class TpuKKW:
             tz_lo, tz_hi = self._z64_tape(player_keys, None)
 
         with timer.phase("wit_build"):
-            wit2 = np.zeros((cc.n_wit2, RT), dtype=np.uint8)
-            wzlo = np.zeros((cc.n_witz, RT), dtype=np.uint32)
-            wzhi = np.zeros((cc.n_witz, RT), dtype=np.uint32)
+            # upload one column per proof and broadcast to the R repetition
+            # lanes on device (the (n_wit, N*R) tensor is R x larger)
+            w2c = np.zeros((cc.n_wit2, N), dtype=np.uint8)
+            wlc = np.zeros((cc.n_witz, N), dtype=np.uint32)
+            whc = np.zeros((cc.n_witz, N), dtype=np.uint32)
             for pidx, (w2, wz) in enumerate(witnesses):
                 a2 = np.asarray([1 if b else 0 for b in w2], dtype=np.uint8)
                 az = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wz], dtype=U64)
                 if len(a2) < cc.n_wit2 or len(az) < cc.n_witz:
                     raise AssertionError("witness is too short")
                 lo, hi = up.from_u64(az[: cc.n_witz])
-                sl = slice(pidx * R, (pidx + 1) * R)
-                wit2[:, sl] = a2[: cc.n_wit2, None]
-                wzlo[:, sl] = lo[:, None]
-                wzhi[:, sl] = hi[:, None]
+                w2c[:, pidx] = a2[: cc.n_wit2]
+                wlc[:, pidx] = lo
+                whc[:, pidx] = hi
+            if "wit_bcast" not in self._hash_fns:
+                import jax
+
+                import jax.numpy as _jnp
+
+                self._hash_fns["wit_bcast"] = jax.jit(
+                    lambda w, r: _jnp.repeat(w, r, axis=1), static_argnums=(1,)
+                )
+            bc = self._hash_fns["wit_bcast"]
+            wit2, wzlo, wzhi = bc(w2c, R), bc(wlc, R), bc(whc, R)
 
         inp = dict(
             tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,

@@ -78,6 +78,12 @@ class _Cfg(NamedTuple):
     carry_out: bool
     carry_outz: bool
     zkinds: int = -1  # bitmask of z64 opcodes present anywhere (-1 = all)
+    #: GF2-only fast path: arena slots renumbered wave-contiguously so the
+    #: two arena writes are dynamic_update_slice (TPU row-scatter costs
+    #: ~17 us/step at batch lanes vs ~2 us for a contiguous update), and the
+    #: onl/pre stream events leave the scan as stacked ys re-ordered by one
+    #: post-scan gather.  n_vals2 then holds the renumbered arena height.
+    fast2: bool = False
 
     def zhas(self, *kinds) -> bool:
         return any(self.zkinds & (1 << k) for k in kinds)
@@ -121,14 +127,59 @@ class ScanExecutor:
             while wave_width < min(256, 2 * mean):
                 wave_width *= 2
         self.waves = build_waves(cc, wave_width)
-        cols = ["op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec",
-                "corr", "onl", "pre", "cbit"]
-        if self.waves.has_z64:
-            cols += ["zop", "zdst", "za", "zb", "zt0", "zt1", "zwit",
-                     "zinrec", "zrec", "zcorr", "zzr", "zclo", "zchi",
-                     "zonl", "zpre", "bbits", "brec", "bonl"]
-        xs_host = {k: np.asarray(getattr(self.waves, k)) for k in cols}
-        couts_host = {}
+        # fast path requires a pure-GF2 scan with no z64 arena traffic (a
+        # mixed circuit's gf2-only segment may still pass z64 carry through)
+        fast2 = (
+            not self.waves.has_z64
+            and self.waves.n_waves > 0
+            and carry_inz == 0
+            and (carry_outz_vals is None or len(carry_outz_vals) == 0)
+        )
+        if fast2:
+            wv = self.waves
+            nw, W = wv.op.shape
+            base = 1 + carry_in  # row 0 = const zero, rows 1..k = carry-in
+            V2 = base + nw * W
+            # remap: SSA slot -> wave-contiguous slot (wave i slot j writes
+            # arena row base + i*W + j; unmapped reads resolve to zero row 0)
+            remap = np.zeros(cc.n_vals2 + 1, np.int64)
+            remap[:base] = np.arange(base)
+            newids = base + np.arange(nw * W, dtype=np.int64).reshape(nw, W)
+            writes = wv.dst != cc.n_vals2
+            remap[wv.dst[writes]] = newids[writes]
+            xs_host = {
+                "op": wv.op,
+                "a": remap[wv.a].astype(np.int32),
+                "b": remap[wv.b].astype(np.int32),
+                "t0": wv.t0, "t1": wv.t1, "wit": wv.wit, "inrec": wv.inrec,
+                "rec": wv.rec, "corr": wv.corr, "cbit": wv.cbit,
+                "slot0": (base + np.arange(nw, dtype=np.int64) * W).astype(
+                    np.int32),
+            }
+            # stream-event inversion: program stream row t <- ys flat slot
+            def invert(col, n):
+                flat = col.reshape(-1)
+                m = flat < n
+                g = np.zeros(max(n, 1), np.int32)
+                g[flat[m]] = np.arange(flat.shape[0], dtype=np.int64)[m]
+                return g
+
+            couts_host = {
+                "gidx_onl": invert(wv.onl, cc.onl2),
+                "gidx_pre": invert(wv.pre, cc.pre2),
+            }
+            self._fast_shape = (nw, W, V2)
+            if carry_out_vals is not None and len(carry_out_vals):
+                carry_out_vals = remap[np.asarray(carry_out_vals, np.int64)]
+        else:
+            cols = ["op", "dst", "a", "b", "t0", "t1", "wit", "inrec", "rec",
+                    "corr", "onl", "pre", "cbit"]
+            if self.waves.has_z64:
+                cols += ["zop", "zdst", "za", "zb", "zt0", "zt1", "zwit",
+                         "zinrec", "zrec", "zcorr", "zzr", "zclo", "zchi",
+                         "zonl", "zpre", "bbits", "brec", "bonl"]
+            xs_host = {k: np.asarray(getattr(self.waves, k)) for k in cols}
+            couts_host = {}
         if carry_out_vals is not None and len(carry_out_vals):
             couts_host["carry_out_vals"] = np.asarray(carry_out_vals, np.int32)
         if carry_outz_vals is not None and len(carry_outz_vals):
@@ -151,12 +202,14 @@ class ScanExecutor:
                 if k != _SCAN_NOP:
                     zkinds |= 1 << int(k)
         self.cfg = _Cfg(
-            mode=mode, R=total_reps, n_vals2=cc.n_vals2, n_valsz=cc.n_valsz,
+            mode=mode, R=total_reps,
+            n_vals2=self._fast_shape[2] if fast2 else cc.n_vals2,
+            n_valsz=cc.n_valsz,
             onl2=cc.onl2, pre2=cc.pre2, onlz=cc.onlz, prez=cc.prez,
             has_z=self.waves.has_z64, carry_in=carry_in, carry_inz=carry_inz,
             carry_out="carry_out_vals" in couts_host,
             carry_outz="carry_outz_vals" in couts_host,
-            zkinds=zkinds,
+            zkinds=zkinds, fast2=fast2,
         )
         self._run = _jitted(self.cfg)
 
@@ -178,7 +231,120 @@ class ScanExecutor:
         return res
 
 
+def _scan_trace_fast2(cfg: _Cfg, inp, xs, couts):
+    """GF2-only scan body with wave-contiguous arena slots.
+
+    The two arena writes are dynamic_update_slice at the wave's slot0 (the
+    __init__ renumbering made each wave's dst rows contiguous), and the
+    onl/pre stream events leave the scan as stacked ys, re-ordered into
+    program-order stream rows by one post-scan gather -- row scatters inside
+    a TPU scan cost ~17 us each at batch lane counts (tools/r3_scanbench.py)
+    and dominated deep-circuit execution."""
+    mode, R = cfg.mode, cfg.R
+    c2 = inp if cfg.carry_in else {}
+    mask2_0 = carry_arena(cfg.n_vals2, R, c2.get("carry_mask2"))
+    corr2_0 = carry_arena(cfg.n_vals2, R, c2.get("carry_corr2"))
+    fail0 = jnp.zeros((R,), jnp.bool_)
+
+    def pad0(v, shape, dtype=U8):
+        if v is None or v.shape[0] == 0:
+            return jnp.zeros(shape, dtype)
+        return v
+
+    tape2 = pad0(inp["tape2"], (1, R))
+    wit2 = pad0(inp.get("wit2"), (1, R))
+    in2 = pad0(inp.get("in2"), (1, R))
+    co2 = pad0(inp.get("co2"), (1, R))
+    re2 = pad0(inp.get("re2"), (1, R))
+
+    def body(carry, w):
+        mask2, corr2, fail = carry
+        op = w["op"][:, None]
+        a_m = jnp.take(mask2, w["a"], axis=0)
+        a_c = jnp.take(corr2, w["a"], axis=0)
+        b_m = jnp.take(mask2, w["b"], axis=0)
+        b_c = jnp.take(corr2, w["b"], axis=0)
+        t0 = jnp.take(tape2, w["t0"], axis=0)
+        t1 = jnp.take(tape2, w["t1"], axis=0)
+        cbit = w["cbit"].astype(U8)[:, None]
+
+        if mode == VERIFY_ONL:
+            delta = jnp.take(co2, w["corr"], axis=0)
+        else:
+            delta = (_parity8(a_m) & _parity8(b_m)) ^ _parity8(t0)
+        s = (b_m & _expand(a_c)) ^ (a_m & _expand(b_c)) ^ t0 ^ t1
+        if mode == VERIFY_ONL:
+            msg = jnp.take(re2, w["rec"], axis=0)
+            s = s ^ msg
+        if mode != VERIFY_PRE:
+            recon = _parity8(s) ^ delta
+        else:
+            recon = jnp.zeros_like(s)
+        mul_corr = recon ^ (a_c & b_c)
+
+        if mode == PROVER:
+            in_c = jnp.take(wit2, w["wit"], axis=0) ^ _parity8(t0)
+        elif mode == VERIFY_ONL:
+            in_c = jnp.take(in2, w["inrec"], axis=0)
+        else:
+            in_c = jnp.zeros_like(a_c)
+
+        s_assert = a_m
+        if mode == VERIFY_ONL:
+            s_assert = s_assert ^ msg
+        if mode != VERIFY_PRE:
+            a_nonzero = (_parity8(s_assert) ^ a_c) != 0
+            fail = fail | jnp.any((op == G_ASSERT) & a_nonzero, axis=0)
+
+        mask_new = jnp.select(
+            [op == G_MUL, op == G_INPUT, op == G_ADD,
+             (op == G_ADDC) | (op == G_SUBC), op == G_MULC,
+             op == G_RANDOM],
+            [t1, t0, a_m ^ b_m, a_m, a_m & _expand(cbit), t0],
+            jnp.zeros_like(a_m),
+        )
+        corr_new = jnp.select(
+            [op == G_MUL, op == G_INPUT, op == G_ADD,
+             (op == G_ADDC) | (op == G_SUBC), op == G_MULC,
+             op == G_CONST],
+            [mul_corr, in_c, a_c ^ b_c, a_c ^ cbit, a_c & cbit, cbit],
+            jnp.zeros_like(a_c),
+        )
+        upd = jax.lax.optimization_barrier((mask_new, corr_new))
+        mask2 = jax.lax.dynamic_update_slice_in_dim(
+            mask2, upd[0], w["slot0"], axis=0)
+        corr2 = jax.lax.dynamic_update_slice_in_dim(
+            corr2, upd[1], w["slot0"], axis=0)
+
+        ys = {"pre": _expand(delta)}
+        if mode != VERIFY_PRE:
+            ys["onl"] = jnp.select(
+                [op == G_MUL, op == G_ASSERT, op == G_INPUT],
+                [s, s_assert, _expand(in_c)],
+                jnp.zeros_like(s),
+            )
+        return (mask2, corr2, fail), ys
+
+    (mask2, corr2, fail), ys = jax.lax.scan(
+        body, (mask2_0, corr2_0, fail0), xs)
+    pre2 = jnp.take(ys["pre"].reshape(-1, R), couts["gidx_pre"], axis=0)
+    if cfg.pre2 == 0:
+        pre2 = jnp.zeros((0, R), U8)
+    if mode != VERIFY_PRE and cfg.onl2 > 0:
+        onl2 = jnp.take(ys["onl"].reshape(-1, R), couts["gidx_onl"], axis=0)
+    else:
+        onl2 = jnp.zeros((cfg.onl2, R), U8)
+    out = {"onl2": onl2, "pre2": pre2, "fail": fail}
+    if cfg.carry_out:
+        vals = couts["carry_out_vals"]
+        out["carry_mask2"] = jnp.take(mask2, vals, axis=0)
+        out["carry_corr2"] = jnp.take(corr2, vals, axis=0)
+    return out
+
+
 def _scan_trace(cfg: _Cfg, inp, xs, couts):
+    if cfg.fast2:
+        return _scan_trace_fast2(cfg, inp, xs, couts)
     mode, R, has_z = cfg.mode, cfg.R, cfg.has_z
 
     c2 = inp if cfg.carry_in else {}

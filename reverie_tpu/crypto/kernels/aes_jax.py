@@ -155,6 +155,94 @@ def round_key_planes(player_keys: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)
 
 
+_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+
+def key_planes_device(keys):
+    """keys: (K, 16) uint8 (K % 32 == 0) -> (16, 8, Kw) u32 bit planes on
+    device; bit j of lane word w is key w*32+j (same packing as
+    round_key_planes round 0)."""
+    K = keys.shape[0]
+    Kw = K // 32
+    sh = jnp.arange(8, dtype=jnp.uint8)
+    bits = (keys[:, :, None] >> sh[None, None, :]) & jnp.asarray(1, jnp.uint8)
+    bits = bits.astype(U32).reshape(Kw, 32, 16, 8)
+    w = jnp.asarray(1, U32) << jnp.arange(32, dtype=U32)
+    packed = jnp.sum(bits * w[None, :, None, None], axis=1, dtype=U32)
+    return jnp.transpose(packed, (1, 2, 0))  # (16, 8, Kw)
+
+
+def round_key_planes_device(keys):
+    """Device AES-128 key schedule: keys (K, 16) u8 -> (11, 16, 8, Kw) u32.
+
+    Byte-identical to the host round_key_planes (differential test in
+    tests/test_pallas_kernels.py) but runs on device, so callers upload 16
+    bytes per key instead of 11x16 round-key bit-planes -- the (11,16,8,Kw)
+    tensor is 45x larger than the keys and dominated prove_batch's tape
+    phase over the slow host<->device link."""
+    kp = key_planes_device(keys)  # (16, 8, Kw)
+    st = [[kp[by, bit] for bit in range(8)] for by in range(16)]
+    rounds = [st]
+    full = jnp.asarray(0xFFFFFFFF, U32)
+    for r in range(10):
+        # temp = SubWord(RotWord(w3)) ^ rcon  (FIPS-197 5.2)
+        rot = [st[13], st[14], st[15], st[12]]
+        temp = []
+        for b in rot:
+            msb = [b[7 - i] for i in range(8)]
+            sb = sbox_bitsliced(msb, _xor, _and, _not)
+            temp.append([sb[7 - i] for i in range(8)])
+        rc = _RCON[r]
+        temp[0] = [
+            temp[0][bit] ^ full if (rc >> bit) & 1 else temp[0][bit]
+            for bit in range(8)
+        ]
+        new_st = []
+        carry = temp  # 4 bytes x 8 planes
+        for wi in range(4):
+            word = []
+            for bi in range(4):
+                old = st[wi * 4 + bi]
+                word.append([old[bit] ^ carry[bi][bit] for bit in range(8)])
+            new_st.extend(word)
+            carry = word
+        st = new_st
+        rounds.append(st)
+    return jnp.stack([
+        jnp.stack([jnp.stack(byp, 0) for byp in rnd], 0) for rnd in rounds
+    ], 0)  # (11, 16, 8, Kw)
+
+
+_RKP_JIT = None
+
+
+def rkp_on_device(player_keys: np.ndarray):
+    """Host (K, 16) u8 keys -> device (11, 16, 8, K//32) u32 round-key
+    planes; uploads only the raw keys and expands on device (the plane
+    tensor is 45x the key bytes -- a large transfer on tunneled rigs)."""
+    global _RKP_JIT
+    if _RKP_JIT is None:
+        _RKP_JIT = jax.jit(round_key_planes_device)
+    return _RKP_JIT(jnp.asarray(np.ascontiguousarray(player_keys)))
+
+
+def counter_planes_device(n_blocks: int, start_block=0):
+    """(16, 8, B) uint8 CTR bit planes computed on device (big-endian u64
+    counter, bytes 0-7 zero); equals counter_planes for any start_block +
+    n_blocks < 2^32.  start_block may be a traced i32/u32 scalar."""
+    ctr = jnp.asarray(start_block, U32) + jnp.arange(n_blocks, dtype=U32)
+    planes = jnp.zeros((16, 8, n_blocks), jnp.uint8)
+    for by in range(8, 16):
+        shift_by = 8 * (15 - by)
+        byte = (ctr >> np.uint32(shift_by)).astype(jnp.uint8) if shift_by < 32 \
+            else jnp.zeros_like(ctr, dtype=jnp.uint8)
+        for bit in range(8):
+            planes = planes.at[by, bit].set(
+                (byte >> np.uint8(bit)) & jnp.asarray(1, jnp.uint8)
+            )
+    return planes
+
+
 def counter_planes(n_blocks: int, start_block: int = 0) -> np.ndarray:
     """(16, 8, B) uint8: bit values of the big-endian CTR blocks."""
     ctr = np.arange(start_block, start_block + n_blocks, dtype=np.uint64)
