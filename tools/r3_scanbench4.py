@@ -1,0 +1,172 @@
+"""Part 4: ablate a replica of the production _scan_trace_fast2 PROVER body
+at the SHA-256 prove_batch N=16 shape (nw=5198, W=64, R=4096, V2=nw*W+1)
+to find where the measured ~139 us/step goes (floor from parts 1-3: ~20 us).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+U8 = jnp.uint8
+NW, W, R = 2048, 64, 4096  # 2048 steps is enough to time; V2 scaled to match
+V2 = NW * W + 1
+rng = np.random.RandomState(0)
+
+G_MUL, G_INPUT, G_ADD, G_ADDC, G_SUBC, G_MULC, G_RANDOM, G_CONST, G_ASSERT = \
+    range(9)
+
+
+def _parity8(x):
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & jnp.uint8(1)
+
+
+def _expand(b):
+    return b * jnp.uint8(0xFF)
+
+
+T = 65536  # tape rows (indices wrap into this; cost model unchanged)
+
+
+def dev_idx(shape, hi, salt):
+    a = jnp.arange(shape[0], dtype=jnp.uint32)[:, None]
+    b = jnp.arange(shape[1], dtype=jnp.uint32)[None, :]
+    mixed = a * jnp.uint32(2654435761) + b * jnp.uint32(40503) + jnp.uint32(salt)
+    return (mixed % jnp.uint32(hi)).astype(jnp.int32)
+
+
+make_xs = jax.jit(lambda: {
+    "op": dev_idx((NW, W), 6, 1),
+    "a": dev_idx((NW, W), V2, 2),
+    "b": dev_idx((NW, W), V2, 3),
+    "t0": dev_idx((NW, W), T, 4),
+    "t1": dev_idx((NW, W), T, 5),
+    "wit": dev_idx((NW, W), 512, 6),
+    "cbit": dev_idx((NW, W), 2, 7),
+    "slot0": 1 + jnp.arange(NW, dtype=jnp.int32) * W,
+})
+xs = jax.block_until_ready(make_xs())
+mk8 = jax.jit(lambda salt, n: (
+    (jnp.arange(n, dtype=jnp.uint32)[:, None] * 131
+     + jnp.arange(R, dtype=jnp.uint32)[None, :] * 7 + salt) & 0xFF
+).astype(jnp.uint8), static_argnums=(1,))
+tape2_dev = jax.block_until_ready(mk8(11, T))
+wit2_dev = jax.block_until_ready(mk8(13, 512))
+
+
+def full_body(carry, w):
+    mask2, corr2, fail = carry
+    op = w["op"][:, None]
+    a_m = jnp.take(mask2, w["a"], axis=0)
+    a_c = jnp.take(corr2, w["a"], axis=0)
+    b_m = jnp.take(mask2, w["b"], axis=0)
+    b_c = jnp.take(corr2, w["b"], axis=0)
+    t0 = jnp.take(tape2, w["t0"], axis=0)
+    t1 = jnp.take(tape2, w["t1"], axis=0)
+    cbit = w["cbit"].astype(U8)[:, None]
+
+    delta = (_parity8(a_m) & _parity8(b_m)) ^ _parity8(t0)
+    s = (b_m & _expand(a_c)) ^ (a_m & _expand(b_c)) ^ t0 ^ t1
+    recon = _parity8(s) ^ delta
+    mul_corr = recon ^ (a_c & b_c)
+    in_c = jnp.take(wit2, w["wit"], axis=0) ^ _parity8(t0)
+    a_nonzero = (_parity8(a_m) ^ a_c) != 0
+    fail = fail | jnp.any((op == G_ASSERT) & a_nonzero, axis=0)
+
+    mask_new = jnp.select(
+        [op == G_MUL, op == G_INPUT, op == G_ADD,
+         (op == G_ADDC) | (op == G_SUBC), op == G_MULC, op == G_RANDOM],
+        [t1, t0, a_m ^ b_m, a_m, a_m & _expand(cbit), t0],
+        jnp.zeros_like(a_m),
+    )
+    corr_new = jnp.select(
+        [op == G_MUL, op == G_INPUT, op == G_ADD,
+         (op == G_ADDC) | (op == G_SUBC), op == G_MULC, op == G_CONST],
+        [mul_corr, in_c, a_c ^ b_c, a_c ^ cbit, a_c & cbit, cbit],
+        jnp.zeros_like(a_c),
+    )
+    upd = jax.lax.optimization_barrier((mask_new, corr_new))
+    mask2 = jax.lax.dynamic_update_slice_in_dim(mask2, upd[0], w["slot0"], axis=0)
+    corr2 = jax.lax.dynamic_update_slice_in_dim(corr2, upd[1], w["slot0"], axis=0)
+    ys = {"pre": _expand(delta),
+          "onl": jnp.select([op == G_MUL, op == G_ASSERT, op == G_INPUT],
+                            [s, a_m, _expand(in_c)], jnp.zeros_like(s))}
+    return (mask2, corr2, fail), ys
+
+
+def no_ys(carry, w):
+    (mask2, corr2, fail), ys = full_body(carry, w)
+    return (mask2, corr2, fail), None
+
+
+def no_select(carry, w):
+    mask2, corr2, fail = carry
+    a_m = jnp.take(mask2, w["a"], axis=0)
+    a_c = jnp.take(corr2, w["a"], axis=0)
+    b_m = jnp.take(mask2, w["b"], axis=0)
+    b_c = jnp.take(corr2, w["b"], axis=0)
+    t0 = jnp.take(tape2, w["t0"], axis=0)
+    t1 = jnp.take(tape2, w["t1"], axis=0)
+    delta = (_parity8(a_m) & _parity8(b_m)) ^ _parity8(t0)
+    s = (b_m & _expand(a_c)) ^ (a_m & _expand(b_c)) ^ t0 ^ t1
+    mask_new = a_m ^ b_m ^ t1
+    corr_new = a_c ^ b_c ^ _parity8(s) ^ delta
+    upd = jax.lax.optimization_barrier((mask_new, corr_new))
+    mask2 = jax.lax.dynamic_update_slice_in_dim(mask2, upd[0], w["slot0"], axis=0)
+    corr2 = jax.lax.dynamic_update_slice_in_dim(corr2, upd[1], w["slot0"], axis=0)
+    return (mask2, corr2, fail), {"pre": _expand(delta), "onl": s}
+
+
+def takes_only(carry, w):
+    mask2, corr2, fail = carry
+    a_m = jnp.take(mask2, w["a"], axis=0)
+    a_c = jnp.take(corr2, w["a"], axis=0)
+    b_m = jnp.take(mask2, w["b"], axis=0)
+    b_c = jnp.take(corr2, w["b"], axis=0)
+    t0 = jnp.take(tape2, w["t0"], axis=0)
+    t1 = jnp.take(tape2, w["t1"], axis=0)
+    upd = jax.lax.optimization_barrier((a_m ^ b_m ^ t0, a_c ^ b_c ^ t1))
+    mask2 = jax.lax.dynamic_update_slice_in_dim(mask2, upd[0], w["slot0"], axis=0)
+    corr2 = jax.lax.dynamic_update_slice_in_dim(corr2, upd[1], w["slot0"], axis=0)
+    return (mask2, corr2, fail), None
+
+
+def run(name, body, has_ys):
+    def outer(seed, xs, tape2_a, wit2_a):
+        global tape2, wit2
+        tape2, wit2 = tape2_a, wit2_a
+        mask2 = jnp.full((V2, R), seed, U8)
+        corr2 = jnp.full((V2, R), seed ^ 1, U8)
+        fail = jnp.zeros((R,), jnp.bool_)
+        (m, c, f), ys = jax.lax.scan(body, (mask2, corr2, fail), xs)
+        acc = jnp.sum(m[:64].astype(jnp.uint32)) + jnp.sum(c[:64].astype(jnp.uint32))
+        if has_ys and ys is not None:
+            for v in ys.values():
+                acc = acc + jnp.sum(v[-1].astype(jnp.uint32))
+        return acc
+
+    f = jax.jit(outer)
+    np.asarray(f(jnp.uint8(0), xs, tape2_dev, wit2_dev))
+    best = 1e9
+    for i in (1, 2):
+        t0 = time.time()
+        np.asarray(f(jnp.uint8(i), xs, tape2_dev, wit2_dev))
+        best = min(best, time.time() - t0)
+    print(f"{name:28s} {best*1e6/NW:8.1f} us/step   total {best:.3f}s",
+          flush=True)
+
+
+run("full fast2 replica", full_body, True)
+run("no ys outputs", no_ys, False)
+run("no selects (mul-ish only)", no_select, True)
+run("takes+dus only", takes_only, False)
