@@ -43,27 +43,33 @@ def make_system(program, params=DEFAULT_PARAMS, mesh=None,
         )
     R = params.total_reps
 
-    def footprint(n_ops: int) -> int:
-        # dominant device arrays scale linearly in ops (tape rows, transcript
-        # streams, gate tables, value arenas); ~2 bytes/op/rep covers the
-        # GF2 streams + tape + arena with headroom, z64 ops cost ~80x more
-        from .circuit.ir import Kind
+    # cheap lower bound (bytes/op/rep) to skip the host compile pass for
+    # circuits that are obviously beyond any budget
+    from .circuit.ir import Kind
 
-        cost = 0
-        for op in program:
-            if op.kind == Kind.GF2:
-                cost += 2 * R
-            elif op.kind == Kind.Z64:
-                cost += 160 * R
-            elif op.kind == Kind.B2A:
-                cost += 200 * 2 * R  # expands to ~200 gf2 gates + z64 events
-        return cost
+    lower = 0
+    for op in program:
+        if op.kind == Kind.GF2:
+            lower += 2 * R
+        elif op.kind == Kind.Z64:
+            lower += 100 * R
+        elif op.kind == Kind.B2A:
+            lower += 300 * R
+    if lower > 4 * hbm_budget_bytes:
+        from .backend.streaming import StreamingKKW
 
-    total = footprint(len(program))
+        frac = max(1, int(len(program) * (hbm_budget_bytes / 8) / lower))
+        return StreamingKKW(program, frac, params=params, mesh=mesh)
+
+    # exact footprint from the compiled circuit's actual array shapes; the
+    # compile pass is shared with the TpuKKW that is usually returned
+    from .backend.tpu_host import TpuKKW, device_footprint
+    from .circuit.compile import compile_program
+
+    cc = compile_program(program)
+    total = device_footprint(cc, R)
     if total <= hbm_budget_bytes:
-        from .backend.tpu_host import TpuKKW
-
-        return TpuKKW(program, params=params, mesh=mesh)
+        return TpuKKW(program, params=params, mesh=mesh, cc=cc)
     from .backend.streaming import StreamingKKW
 
     # pick a segment size so one segment's footprint is ~1/8 of budget

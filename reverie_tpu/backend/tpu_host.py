@@ -66,6 +66,60 @@ def build_tapes(player_keys: np.ndarray, omit: Optional[np.ndarray], m2: int, mz
     return tape2, lo, hi
 
 
+#: depth beyond which GF2-only circuits use the lax.scan executor
+SCAN_DEPTH_THRESHOLD = 128
+
+
+def device_footprint(cc, R: int) -> int:
+    """Exact peak device bytes of a TpuKKW prove at R reps, from the compiled
+    circuit's actual array shapes (replaces make_system's former magic
+    per-op constants; VERDICT r2 weak #8).
+
+    Terms (see Executor._trace and the tape builders for the shapes):
+      tape2    (ceil(m2/128)*128, R) u8     -- GF2 mask tape rows
+      tapez    (ceil(mz/128)*128, R, 8) u32 x2 (lo, hi)
+      arenas   mask2+corr2 (n_vals2, R) u8; mzlo/mzhi (n_valsz, R, 8) u32;
+               czlo/czhi (n_valsz, R) u32
+      streams  onl2+pre2+onlz+prez (rows, R) u8, counted twice: the hash
+               stage materializes the same bytes again as u32 words
+      tables   gate index columns committed to device (int32)
+    """
+    # tape rows: the device AES kernels (m2 >= 4096 / mz >= 512) emit whole
+    # 128-value refills; below those thresholds the host builders are exact
+    m2_rows = ((cc.m2 + BATCH - 1) // BATCH) * BATCH if cc.m2 >= 4096 else cc.m2
+    mz_rows = ((cc.mz + BATCH - 1) // BATCH) * BATCH if cc.mz >= 512 else cc.mz
+    t2 = m2_rows * R
+    tz = mz_rows * R * 8 * 4 * 2
+    arena2 = 2 * cc.n_vals2 * R
+    arenaz = cc.n_valsz * R * (2 * 8 * 4 + 2 * 4)
+    streams = (cc.onl2 + cc.pre2 + cc.onlz + cc.prez) * R
+    if cc.depth > SCAN_DEPTH_THRESHOLD:
+        # deep circuits run the scan executor: its NOP-padded uniform wave
+        # tables (and, pure-GF2, a wave-contiguous renumbered arena) are the
+        # real table cost -- build the same waves it would
+        import dataclasses as _dc
+
+        from ..circuit.compile import build_waves
+        from .tpu_scan import default_wave_width
+
+        wv = build_waves(cc, default_wave_width(cc))
+        # int64 host columns land on device as int32 (x64 disabled)
+        tables = sum(
+            np.asarray(f).size * min(np.asarray(f).dtype.itemsize, 4)
+            for f in _dc.asdict(wv).values()
+            if f is not None and not np.isscalar(f)
+        )
+        if not wv.has_z64:
+            arena2 = 2 * (1 + wv.op.size) * R
+    else:
+        tables = 0
+        for table in cc.levels:
+            for cols in table.values():
+                for name, arr in cols.items():
+                    tables += np.asarray(arr).size * 4
+    return t2 + tz + arena2 + arenaz + 2 * streams + tables
+
+
 # ---------------------------------------------------------------------------
 # Transcript hashing
 # ---------------------------------------------------------------------------
@@ -380,17 +434,18 @@ class TpuKKW:
     """Compile a circuit once; prove and verify on the TPU backend."""
 
     def __init__(self, program: Sequence[CombineOp], params: ProtocolParams = DEFAULT_PARAMS,
-                 mesh=None):
+                 mesh=None, cc=None):
         """`mesh`: optional jax.sharding.Mesh -- shards the repetition axis
-        of proving/verification over the mesh devices (parallel/mesh.py)."""
+        of proving/verification over the mesh devices (parallel/mesh.py).
+        `cc`: optionally a precompiled circuit (make_system compiles once to
+        size the system and passes it through)."""
         self.params = params
         self.mesh = mesh
-        self.cc = compile_program(program)
+        self.cc = compile_program(program) if cc is None else cc
         self._executors: Dict[tuple, Executor] = {}
         self._hash_fns: Dict[tuple, object] = {}
 
-    #: depth beyond which GF2-only circuits use the lax.scan executor
-    SCAN_DEPTH_THRESHOLD = 128
+    SCAN_DEPTH_THRESHOLD = SCAN_DEPTH_THRESHOLD
 
     def _executor(self, mode: int, R: int):
         key = (mode, R)
@@ -434,10 +489,15 @@ class TpuKKW:
             # the round-1 fusion miscompile was in the *XLA post-processing*,
             # now fused in-kernel (tools/r2_tune.py parts B/C/E)
             and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
-            # lane counts validated at multiples of 256 reps (Kw % 64 == 0);
-            # verifier rep counts (40/216) keep the XLA kernel
-            and R % 256 == 0
         )
+        # verifier rep counts (R=40 online / R=216 preprocessing) reach the
+        # kernel by zero-key padding to a full-lane-utilization count and
+        # slicing the tape columns back (round-3 item; was an XLA fallback)
+        R_pad = R
+        if use_pallas:
+            from ..crypto.kernels.aes_pallas import pallas_rep_pad
+
+            R_pad = pallas_rep_pad(R)
         # cache key includes the kernel choice: prove() (R=256) and
         # prove_batch() (R=N*256) may pick different kernels with different
         # call conventions on one TpuKKW instance.  Both paths upload only
@@ -465,8 +525,18 @@ class TpuKKW:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
             mask = aj.lane_mask_from_omit(omit, R)
-        keys = jnp.asarray(player_keys.reshape(-1, KEY_SIZE))
-        return self._hash_fns[fn_key](keys, nblocks, jnp.asarray(mask))
+        keys = player_keys.reshape(-1, KEY_SIZE)
+        if R_pad != R:
+            keys = np.concatenate(
+                [keys, np.zeros(((R_pad - R) * 8, KEY_SIZE), np.uint8)]
+            )
+            mask = np.concatenate(
+                [mask, np.zeros((R_pad - R) * 8 // 32, np.uint32)]
+            )
+        tape = self._hash_fns[fn_key](
+            jnp.asarray(keys), nblocks, jnp.asarray(mask)
+        )
+        return tape[:, :R] if R_pad != R else tape
 
     def _z64_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
         """Z64 mask tape via the bitsliced device AES kernel (host AES for

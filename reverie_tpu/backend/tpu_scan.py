@@ -92,6 +92,21 @@ class _Cfg(NamedTuple):
 _TRACE_FNS: Dict[_Cfg, object] = {}
 
 
+def default_wave_width(cc: CompiledCircuit) -> int:
+    """Adapt the wave width to the mean level occupancy: wide enough to
+    swallow typical levels, narrow enough to avoid NOP-padding waste."""
+    n_gates = sum(
+        len(next(iter(cols.values())))
+        for lvl in cc.levels
+        for cols in lvl.values()
+    )
+    mean = max(1, n_gates // max(1, cc.depth))
+    wave_width = 8
+    while wave_width < min(256, 2 * mean):
+        wave_width *= 2
+    return wave_width
+
+
 def _jitted(cfg: _Cfg):
     if cfg not in _TRACE_FNS:
         _TRACE_FNS[cfg] = jax.jit(functools.partial(_scan_trace, cfg))
@@ -115,17 +130,7 @@ class ScanExecutor:
         self.R = total_reps
         self.mesh = mesh
         if wave_width <= 0:
-            # adapt the wave width to the mean level occupancy: wide enough to
-            # swallow typical levels, narrow enough to avoid NOP-padding waste
-            n_gates = sum(
-                len(next(iter(cols.values())))
-                for lvl in cc.levels
-                for cols in lvl.values()
-            )
-            mean = max(1, n_gates // max(1, cc.depth))
-            wave_width = 8
-            while wave_width < min(256, 2 * mean):
-                wave_width *= 2
+            wave_width = default_wave_width(cc)
         self.waves = build_waves(cc, wave_width)
         # fast path requires a pure-GF2 scan with no z64 arena traffic (a
         # mixed circuit's gf2-only segment may still pass z64 carry through)

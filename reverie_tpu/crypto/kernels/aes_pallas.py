@@ -315,3 +315,22 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
     words = words.reshape(Bp * 128, Kw)
     by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp*128, Kw, 4)
     return by.reshape(Bp * 128, Kw * 4)[: B * 128]
+
+
+def pallas_rep_pad(R: int) -> int:
+    """Smallest rep count >= R that the tape kernel tiles at full lane
+    utilization: Kw = R/4 key-lanes must either pack into one 128-lane vreg
+    (Kw in {16, 32, 64} via bpr key replication) or be 128-divisible.
+
+    Callers pad the key batch with zero keys up to this count and slice the
+    tape back to R columns -- this is how the verifier rep counts (R=40
+    online -> 64, R=216 preprocessing -> 256) reach the fast kernel instead
+    of falling back to the XLA path (reference expands every opened rep's
+    tape with the same AES-NI code regardless of count, crypto/prg.rs:27-37).
+    """
+    if R % 256 == 0:
+        return R
+    for cand in (64, 128, 256):
+        if R <= cand:
+            return cand
+    return ((R + 255) // 256) * 256

@@ -220,24 +220,30 @@ def _bulk_cvs(words, chunk_base):
     """CVs of full (16x64 B) chunks: words (n, 16, 16, R) u32, chunk_base the
     global counter of chunk 0 (int or traced scalar).
 
-    The Pallas chunk-CV kernel is hardware-validated byte-exact but measured
-    *slower* than the XLA row-tensor path at transcript shapes (12 vs 16 GB/s
-    at n=976, R=256 on v5e -- tools/r2_hw2.py part B: the 16 sequential
-    compress rounds per chunk leave the MXU idle and the XLA fusion already
-    keeps the stream in VMEM), so it is opt-in via REVERIE_PALLAS_BLAKE3=1."""
+    REVERIE_PALLAS_BLAKE3 selects a Pallas chunk-CV kernel: "1" = v1
+    (block-major, 2-vreg words -- measured slower than XLA, kept as a
+    differential oracle), "2" = v2 ((16,16,n,R) word-contiguous tiles),
+    "3" = v3 (v1 layout + 128-lane tiles).  Hardware round 3
+    (tools/r3_blake3_hw.py, chained-input protocol): at the 1M-gate
+    transcript shape the XLA words-scan runs ~55 GB/s on pre-materialized
+    words, v2 ~49, v3 ~25, v1 ~21 -- so the XLA path stays the default."""
     import os
 
     n, R = words.shape[0], words.shape[-1]
+    sel = os.environ.get("REVERIE_PALLAS_BLAKE3")
     if (
         jax.default_backend() == "tpu"
-        and os.environ.get("REVERIE_PALLAS_BLAKE3")
+        and sel
         and not os.environ.get("REVERIE_NO_PALLAS")
         and R % 128 == 0
         and n >= 16
     ):
-        from .blake3_pallas import chunk_cvs_pallas
+        from . import blake3_pallas as bp
 
-        return chunk_cvs_pallas(words, chunk_base)
+        fn = {"2": bp.chunk_cvs_pallas2, "3": bp.chunk_cvs_pallas3}.get(
+            sel, bp.chunk_cvs_pallas
+        )
+        return fn(words, chunk_base)
     ctr = jnp.asarray(chunk_base, U32) + jnp.arange(n, dtype=U32)
     return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr, use_words=True)
 

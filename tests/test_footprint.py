@@ -1,0 +1,81 @@
+"""device_footprint must track the real array shapes the prove path
+allocates (VERDICT r2 weak #8: the old make_system model was magic
+constants; wrong-side errors OOM mid-prove)."""
+
+import numpy as np
+
+from reverie_tpu.backend.tpu import carry_arena
+from reverie_tpu.backend.tpu_host import (
+    PROVER,
+    TpuKKW,
+    build_tapes,
+    device_footprint,
+    expand_seeds,
+)
+from reverie_tpu.circuit.builders import (
+    mixed_b2a_circuit,
+    mul_bench_circuit,
+    z64_mul_bench_circuit,
+)
+
+R = 64  # small rep count keeps the CPU test fast; footprint is linear in R
+
+
+def measured_bytes(sys_: TpuKKW) -> int:
+    """Sum the byte sizes of the arrays a prove actually holds live, built
+    through the same code paths the prover uses (host tape builder, the
+    executors' carry_arena helper, the committed gate tables)."""
+    cc = sys_.cc
+    seeds = np.zeros((R, 16), np.uint8)
+    pk = expand_seeds(seeds).reshape(R, 8, 16)
+    t2, tzlo, tzhi = build_tapes(pk, None, cc.m2, cc.mz)
+    # tape rows as the device kernels pad them (full 128-value refills);
+    # below the device thresholds the host builders are exact
+    t2_dev = ((cc.m2 + 127) // 128) * 128 * R if cc.m2 >= 4096 else t2.nbytes
+    tz_dev = (tzlo.nbytes + tzhi.nbytes) if cc.mz else 0
+    arenas = (
+        2 * carry_arena(cc.n_vals2, R).nbytes
+        + 2 * carry_arena(cc.n_valsz, R, tail=(8,), dtype=np.uint32).nbytes
+        + 2 * carry_arena(cc.n_valsz, R, dtype=np.uint32).nbytes
+    )
+    ex = sys_._executor(PROVER, R)
+    inp = dict(
+        tape2=t2,
+        tapez_lo=tzlo,
+        tapez_hi=tzhi,
+        wit2=np.zeros((cc.n_wit2, R), np.uint8),
+        witz_lo=np.zeros((cc.n_witz, R), np.uint32),
+        witz_hi=np.zeros((cc.n_witz, R), np.uint32),
+    )
+    out = ex(inp)
+    streams = sum(int(out[k].nbytes) for k in ("onl2", "pre2", "onlz", "prez"))
+    tabs = getattr(ex, "tables", None)
+    if tabs is None:  # ScanExecutor: per-wave xs tables
+        tabs = {
+            k: v for k, v in enumerate(__import__("jax").tree_util.tree_leaves(ex.xs))
+        }
+    tables = sum(int(np.asarray(v).nbytes) for v in tabs.values())
+    # the hash stage re-materializes the streams as u32 words (same bytes)
+    return t2_dev + tz_dev + arenas + 2 * streams + tables
+
+
+def _check(prog):
+    sys_ = TpuKKW(prog)
+    pred = device_footprint(sys_.cc, R)
+    meas = measured_bytes(sys_)
+    assert abs(pred - meas) <= 0.25 * meas, (pred, meas)
+
+
+def test_footprint_gf2():
+    prog, _, _ = mul_bench_circuit(3000)
+    _check(prog)
+
+
+def test_footprint_z64():
+    prog, _, _ = z64_mul_bench_circuit(300)
+    _check(prog)
+
+
+def test_footprint_mixed_b2a():
+    prog, _, _ = mixed_b2a_circuit()
+    _check(prog)
