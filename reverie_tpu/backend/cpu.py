@@ -149,6 +149,66 @@ class Transcript:
         self.zero_failures: List[np.ndarray] = []
         # verifier-preprocess provided online commitment: (G, 8, 32) uint8
         self.comm_online: Optional[np.ndarray] = None
+        # REVERIE_DEBUG verifier invariants (verifier/online.rs:141-160):
+        # set_debug_omit installs the omitted-player map; every reconstruct
+        # then asserts the regenerated share is zero at the omitted player
+        # and the proof-supplied missing share lives ONLY there.
+        self._omit_mask = None  # gf2: (G,) u64 bitmask; z64: (G, 8) bool
+
+    def set_debug_omit(self, omit: np.ndarray) -> None:
+        """omit: (G, 8) per-(group, rep) omitted player (0..7).  Enables the
+        debug omitted-share-zero checks in VERIFY_ONL reconstructs."""
+        if not os.environ.get("REVERIE_DEBUG") or self.mode != VERIFY_ONL:
+            return
+        omit = np.asarray(omit, dtype=np.int64)
+        if self.domain == "gf2":
+            # share bit layout: (7-rep)*8 + (7-player) (gf2/share.rs:23-24)
+            G = omit.shape[0]
+            m = np.zeros(G, dtype=U64)
+            for g in range(G):
+                acc = 0
+                for r in range(8):
+                    p = int(omit[g, r])
+                    if p < 8:
+                        acc |= 1 << ((7 - r) * 8 + (7 - p))
+                m[g] = acc
+            self._omit_mask = m
+        else:
+            self._omit_mask = omit  # (G, 8) player index per rep
+
+    def _debug_omit_check(self, mask: np.ndarray, msg: np.ndarray) -> None:
+        if self._omit_mask is None:
+            return
+        if self.domain == "gf2":
+            if np.any(mask & self._omit_mask):
+                raise AssertionError(
+                    "REVERIE_DEBUG: regenerated gf2 share is nonzero at the "
+                    "omitted player (tape build violated the omit mask)"
+                )
+            if np.any(msg & ~self._omit_mask):
+                raise AssertionError(
+                    "REVERIE_DEBUG: injected gf2 missing-share has bits "
+                    "outside the omitted player's positions"
+                )
+        else:
+            omit = self._omit_mask  # (G, 8) player per rep
+            G = omit.shape[0]
+            for g in range(G):
+                for r in range(8):
+                    p = int(omit[g, r])
+                    if p >= 8:
+                        continue
+                    if np.any(mask[g, r, p]):
+                        raise AssertionError(
+                            "REVERIE_DEBUG: regenerated z64 share is nonzero "
+                            "at the omitted player"
+                        )
+                    others = [q for q in range(8) if q != p]
+                    if np.any(msg[g, r, others]):
+                        raise AssertionError(
+                            "REVERIE_DEBUG: injected z64 missing-share has "
+                            "values outside the omitted player"
+                        )
 
     # -- domain helpers -----------------------------------------------------
     def _alg(self):
@@ -206,6 +266,7 @@ class Transcript:
             return self._reconstruct(mask)
         if self.mode == VERIFY_ONL:
             msg = self.r_recons.next()
+            self._debug_omit_check(mask, msg)
             full = self._alg().share_add(mask, msg)
             self.online_events.append(self._share_bytes(full))
             return self._reconstruct(full)

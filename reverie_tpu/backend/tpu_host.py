@@ -1078,6 +1078,29 @@ class TpuKKW:
         with timer.phase("onl_tape"):
             tape2 = self._gf2_tape(player_keys, omit)
             tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
+            if _os.environ.get("REVERIE_DEBUG"):
+                # omitted-player tape lanes must be all-zero
+                # (verifier/online.rs:141-160 debug invariant); one device
+                # reduction per domain, turning a silent tape-builder
+                # miscompile into a loud failure
+                import jax.numpy as jnp
+
+                bitmask = np.where(omit < 8, 1 << (7 - omit), 0).astype(np.uint8)
+                if int(jnp.any(jnp.asarray(tape2) & bitmask[None, :])):
+                    raise AssertionError(
+                        "REVERIE_DEBUG: gf2 tape is nonzero at the omitted "
+                        "player's bit lane"
+                    )
+                oz = np.asarray(omitz)
+                cols = np.nonzero(oz < 8)[0]
+                if cols.size and tz_lo.shape[0]:
+                    sel_lo = jnp.asarray(tz_lo)[:, cols, oz[cols]]
+                    sel_hi = jnp.asarray(tz_hi)[:, cols, oz[cols]]
+                    if int(jnp.any(sel_lo)) or int(jnp.any(sel_hi)):
+                        raise AssertionError(
+                            "REVERIE_DEBUG: z64 tape is nonzero at the "
+                            "omitted player's lane"
+                        )
             if profile:
                 import jax
 

@@ -216,6 +216,8 @@ def _run_online_group(o2, oz, program, wire_counts, m2, mz):
 
     t2 = cpu.Transcript("gf2", cpu.VERIFY_ONL, 1, tape2)
     tz = cpu.Transcript("z64", cpu.VERIFY_ONL, 1, tapez)
+    t2.set_debug_omit(omit_arr)  # REVERIE_DEBUG invariants (no-op otherwise)
+    tz.set_debug_omit(omitz_arr)
 
     t2.r_corrs = cpu._StreamReader(
         agf2.unpack_recon([o.corrs for o in o2])[:, None], (1,)

@@ -147,3 +147,57 @@ def test_debug_mode_detects_corrupted_state(monkeypatch):
     ins.gf2.corr[0] ^= np.uint64(0x0100)  # flip one rep's cleartext bit
     with pytest.raises(AssertionError, match="REVERIE_DEBUG"):
         ins.step(CombineOp.gf2(Gate(Op.MUL, dst=2, src1=0, src2=1)))
+
+
+def test_debug_mode_verifier_honest(monkeypatch):
+    """REVERIE_DEBUG=1 during verification runs the omitted-share-zero
+    invariants (verifier/online.rs:141-160) without changing the outcome."""
+    from reverie_tpu.circuit.builders import mixed_b2a_circuit
+    from reverie_tpu.proof import prove, verify
+
+    prog, wit2, witz = mixed_b2a_circuit()
+    seeds = np.random.RandomState(5).randint(0, 256, size=(32, 8, 16), dtype=np.uint8)
+    proof = prove(prog, wit2, witz, seeds=seeds)
+    monkeypatch.setenv("REVERIE_DEBUG", "1")
+    assert verify(proof, prog)
+
+
+def test_debug_mode_verifier_detects_nonzero_omitted_lane(monkeypatch):
+    """A regenerated tape with data in the omitted player's lane (the class
+    of bug a tape-builder miscompile would produce) trips the verifier debug
+    assert."""
+    monkeypatch.setenv("REVERIE_DEBUG", "1")
+    G = 1
+    rng = np.random.RandomState(3)
+    seeds = rng.randint(0, 256, size=(G, 8, KEY_SIZE), dtype=np.uint8)
+    pk = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(G, 8, 8, KEY_SIZE)
+    omit = np.array([[3, 0, 1, 2, 4, 5, 6, 7]], dtype=np.int64)
+    tape2, _ = cpu.make_tapes(pk, omit, 4, 0)
+    # simulate the bug: put a bit at rep 0's omitted player (player 3)
+    tape2 = tape2.copy()
+    tape2[0, 0] |= np.uint64(1) << np.uint64((7 - 0) * 8 + (7 - 3))
+    t2 = cpu.Transcript("gf2", cpu.VERIFY_ONL, G, tape2)
+    t2.set_debug_omit(omit)
+    t2.r_recons = cpu._StreamReader(np.zeros((4, G), dtype=np.uint64), (G,))
+    with pytest.raises(AssertionError, match="REVERIE_DEBUG"):
+        t2.reconstruct(t2.new_mask())
+
+
+def test_debug_mode_verifier_detects_misplaced_injection(monkeypatch):
+    """An injected missing-share with bits outside the omitted player's
+    positions trips the debug assert."""
+    monkeypatch.setenv("REVERIE_DEBUG", "1")
+    G = 1
+    rng = np.random.RandomState(4)
+    seeds = rng.randint(0, 256, size=(G, 8, KEY_SIZE), dtype=np.uint8)
+    pk = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(G, 8, 8, KEY_SIZE)
+    omit = np.array([[3, 0, 1, 2, 4, 5, 6, 7]], dtype=np.int64)
+    tape2, _ = cpu.make_tapes(pk, omit, 4, 0)
+    t2 = cpu.Transcript("gf2", cpu.VERIFY_ONL, G, tape2)
+    t2.set_debug_omit(omit)
+    # corrupt the injected stream: a bit at rep 0, player 5 (omit is 3)
+    bad = np.zeros((4, G), dtype=np.uint64)
+    bad[0, 0] = np.uint64(1) << np.uint64((7 - 0) * 8 + (7 - 5))
+    t2.r_recons = cpu._StreamReader(bad, (G,))
+    with pytest.raises(AssertionError, match="REVERIE_DEBUG"):
+        t2.reconstruct(t2.new_mask())

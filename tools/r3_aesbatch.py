@@ -26,7 +26,7 @@ def bench(name, fn, *args):
         t0 = time.time()
         jax.block_until_ready(fn(*args))
         best = min(best, time.time() - t0)
-    nbytes = int(np.prod(out.shape)) if hasattr(out, "shape") else 0
+    nbytes = int(out.nbytes) if hasattr(out, "nbytes") else 0
     gbps = nbytes / best / 1e9 if nbytes else 0
     print(f"{name:44s} {best*1e3:8.1f} ms   {gbps:6.2f} GB/s", flush=True)
     return out

@@ -16,10 +16,17 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 U8 = jnp.uint8
-NW, W, R = 2048, 64, 4096  # 2048 steps is enough to time; V2 scaled to match
+# 2048 steps is enough to time; V2 is scaled to NW*W+1 (~131k), BELOW the
+# production SHA arena (~333k) -- part 5 shows per-step cost grows with V,
+# so absolute us/step here is optimistic; only relative deltas transfer.
+NW, W, R = 2048, 64, 4096
 V2 = NW * W + 1
 rng = np.random.RandomState(0)
 
+# NOTE: numbering is intentionally LOCAL to this bench (production
+# compile.py uses G_INPUT=0..G_CONST=8); ops here are sampled over the first
+# 6 kinds only, so the select/branch mix differs slightly from a real
+# SHA-256 trace -- treat per-variant DELTAS as meaningful, not absolutes.
 G_MUL, G_INPUT, G_ADD, G_ADDC, G_SUBC, G_MULC, G_RANDOM, G_CONST, G_ASSERT = \
     range(9)
 
