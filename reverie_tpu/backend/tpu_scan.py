@@ -56,6 +56,7 @@ from .tpu import (
 )
 
 U8 = jnp.uint8
+U16 = jnp.uint16
 U32 = jnp.uint32
 
 
@@ -101,8 +102,11 @@ def default_wave_width(cc: CompiledCircuit) -> int:
         for cols in lvl.values()
     )
     mean = max(1, n_gates // max(1, cc.depth))
+    # next pow2 >= mean (round 3: the former 2*mean rule gave W=64 for
+    # SHA-256's mean 26 -> 60% NOP slots; W=32 measured 28 vs 35 us/step
+    # with the same wave count +3.5%, tools/r3_scanbench7.py)
     wave_width = 8
-    while wave_width < min(256, 2 * mean):
+    while wave_width < min(256, mean):
         wave_width *= 2
     return wave_width
 
@@ -154,9 +158,13 @@ class ScanExecutor:
             remap[wv.dst[writes]] = newids[writes]
             xs_host = {
                 "op": wv.op,
-                "a": remap[wv.a].astype(np.int32),
-                "b": remap[wv.b].astype(np.int32),
-                "t0": wv.t0, "t1": wv.t1, "wit": wv.wit, "inrec": wv.inrec,
+                # fused index columns (round 3): ONE (2W,) arena gather
+                # replaces the 4 a/b mask/corr gathers (the arena packs
+                # mask|corr in one u16), ONE (2W,) tape gather replaces t0/t1
+                "ab": np.concatenate(
+                    [remap[wv.a], remap[wv.b]], axis=1).astype(np.int32),
+                "tt": np.concatenate([wv.t0, wv.t1], axis=1).astype(np.int32),
+                "wit": wv.wit, "inrec": wv.inrec,
                 "rec": wv.rec, "corr": wv.corr, "cbit": wv.cbit,
                 "slot0": (base + np.arange(nw, dtype=np.int64) * W).astype(
                     np.int32),
@@ -239,16 +247,23 @@ class ScanExecutor:
 def _scan_trace_fast2(cfg: _Cfg, inp, xs, couts):
     """GF2-only scan body with wave-contiguous arena slots.
 
-    The two arena writes are dynamic_update_slice at the wave's slot0 (the
-    __init__ renumbering made each wave's dst rows contiguous), and the
-    onl/pre stream events leave the scan as stacked ys, re-ordered into
-    program-order stream rows by one post-scan gather -- row scatters inside
-    a TPU scan cost ~17 us each at batch lane counts (tools/r3_scanbench.py)
-    and dominated deep-circuit execution."""
+    The arena packs mask|corr into one u16 plane, so a single (2W,) gather
+    (fused [a;b] index column) feeds all four operand reads and ONE
+    dynamic_update_slice writes both results -- round-3 rework, measured
+    28 vs 55 us/step at the SHA-256 batch shape (tools/r3_scanbench7.py).
+    The wave writes land at slot0 (the __init__ renumbering made each
+    wave's dst rows contiguous), and the onl/pre stream events leave the
+    scan as stacked ys, re-ordered into program-order stream rows by one
+    post-scan gather -- row scatters inside a TPU scan cost ~17 us each at
+    batch lane counts (tools/r3_scanbench.py) and dominated deep-circuit
+    execution."""
     mode, R = cfg.mode, cfg.R
     c2 = inp if cfg.carry_in else {}
-    mask2_0 = carry_arena(cfg.n_vals2, R, c2.get("carry_mask2"))
-    corr2_0 = carry_arena(cfg.n_vals2, R, c2.get("carry_corr2"))
+    carried = None
+    if c2.get("carry_mask2") is not None and c2["carry_mask2"].shape[0]:
+        carried = c2["carry_mask2"].astype(U16) | (
+            c2["carry_corr2"].astype(U16) << 8)
+    arena0 = carry_arena(cfg.n_vals2, R, carried, dtype=U16)
     fail0 = jnp.zeros((R,), jnp.bool_)
 
     def pad0(v, shape, dtype=U8):
@@ -263,14 +278,17 @@ def _scan_trace_fast2(cfg: _Cfg, inp, xs, couts):
     re2 = pad0(inp.get("re2"), (1, R))
 
     def body(carry, w):
-        mask2, corr2, fail = carry
+        arena, fail = carry
+        W = w["op"].shape[0]
         op = w["op"][:, None]
-        a_m = jnp.take(mask2, w["a"], axis=0)
-        a_c = jnp.take(corr2, w["a"], axis=0)
-        b_m = jnp.take(mask2, w["b"], axis=0)
-        b_c = jnp.take(corr2, w["b"], axis=0)
-        t0 = jnp.take(tape2, w["t0"], axis=0)
-        t1 = jnp.take(tape2, w["t1"], axis=0)
+        ab = jnp.take(arena, w["ab"], axis=0)  # (2W, R) u16, one gather
+        amc, bmc = ab[:W], ab[W:]
+        a_m = (amc & jnp.uint16(0xFF)).astype(U8)
+        a_c = (amc >> jnp.uint16(8)).astype(U8)
+        b_m = (bmc & jnp.uint16(0xFF)).astype(U8)
+        b_c = (bmc >> jnp.uint16(8)).astype(U8)
+        tt = jnp.take(tape2, w["tt"], axis=0)  # (2W, R) u8, one gather
+        t0, t1 = tt[:W], tt[W:]
         cbit = w["cbit"].astype(U8)[:, None]
 
         if mode == VERIFY_ONL:
@@ -315,11 +333,10 @@ def _scan_trace_fast2(cfg: _Cfg, inp, xs, couts):
             [mul_corr, in_c, a_c ^ b_c, a_c ^ cbit, a_c & cbit, cbit],
             jnp.zeros_like(a_c),
         )
-        upd = jax.lax.optimization_barrier((mask_new, corr_new))
-        mask2 = jax.lax.dynamic_update_slice_in_dim(
-            mask2, upd[0], w["slot0"], axis=0)
-        corr2 = jax.lax.dynamic_update_slice_in_dim(
-            corr2, upd[1], w["slot0"], axis=0)
+        packed = mask_new.astype(U16) | (corr_new.astype(U16) << 8)
+        packed = jax.lax.optimization_barrier(packed)
+        arena = jax.lax.dynamic_update_slice_in_dim(
+            arena, packed, w["slot0"], axis=0)
 
         ys = {"pre": _expand(delta)}
         if mode != VERIFY_PRE:
@@ -328,10 +345,16 @@ def _scan_trace_fast2(cfg: _Cfg, inp, xs, couts):
                 [s, s_assert, _expand(in_c)],
                 jnp.zeros_like(s),
             )
-        return (mask2, corr2, fail), ys
+        return (arena, fail), ys
 
-    (mask2, corr2, fail), ys = jax.lax.scan(
-        body, (mask2_0, corr2_0, fail0), xs)
+    import os as _os
+
+    unroll = int(_os.environ.get(
+        "REVERIE_SCAN_UNROLL",
+        4 if jax.default_backend() == "tpu" else 1,
+    ))
+    (arena, fail), ys = jax.lax.scan(
+        body, (arena0, fail0), xs, unroll=unroll)
     pre2 = jnp.take(ys["pre"].reshape(-1, R), couts["gidx_pre"], axis=0)
     if cfg.pre2 == 0:
         pre2 = jnp.zeros((0, R), U8)
@@ -342,8 +365,9 @@ def _scan_trace_fast2(cfg: _Cfg, inp, xs, couts):
     out = {"onl2": onl2, "pre2": pre2, "fail": fail}
     if cfg.carry_out:
         vals = couts["carry_out_vals"]
-        out["carry_mask2"] = jnp.take(mask2, vals, axis=0)
-        out["carry_corr2"] = jnp.take(corr2, vals, axis=0)
+        sel = jnp.take(arena, vals, axis=0)
+        out["carry_mask2"] = (sel & jnp.uint16(0xFF)).astype(U8)
+        out["carry_corr2"] = (sel >> jnp.uint16(8)).astype(U8)
     return out
 
 
