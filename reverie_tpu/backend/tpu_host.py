@@ -225,9 +225,11 @@ def _pack_rows_device(bits):
     return jnp.sum(bits * w[None, :, None], axis=1, dtype=jnp.uint8)
 
 
-def make_gf2_extractor(cc: CompiledCircuit):
+def make_gf2_extractor(cc: CompiledCircuit, out_sharding=None):
     """Jitted device fn: (onl2, pre2, onehot(R,K) int8, shifts(K,)) ->
-    packed (recons, corrs, inputs) byte arrays, each (n//8+1, K)."""
+    packed (recons, corrs, inputs) byte arrays, each (n//8+1, K).
+    `out_sharding`: replicated NamedSharding on multi-process meshes so the
+    host can read the extraction buffer on every process."""
     import jax
     import jax.numpy as jnp
 
@@ -278,10 +280,12 @@ def make_gf2_extractor(cc: CompiledCircuit):
             [packsel(b).reshape(-1) for b in (rec_bits, cor_bits, inp_bits)]
         )
 
+    if out_sharding is not None:
+        return jax.jit(fn, out_shardings=out_sharding)
     return jax.jit(fn)
 
 
-def make_z64_extractor(cc: CompiledCircuit):
+def make_z64_extractor(cc: CompiledCircuit, out_sharding=None):
     """Jitted device fn: (onlz, prez, omit(K,) i32, cols(K,) i32) -> flat u8
     [recons (K, n_rec*8) | corrs (K, n_cor*8) | inputs (K, n_inp*8)].
 
@@ -328,6 +332,8 @@ def make_z64_extractor(cc: CompiledCircuit):
             return jnp.zeros((0,), jnp.uint8)
         return jnp.concatenate(parts)
 
+    if out_sharding is not None:
+        return jax.jit(fn, out_shardings=out_sharding)
     return jax.jit(fn)
 
 
@@ -396,9 +402,12 @@ def build_online_injection_packed(cc: CompiledCircuit, openings2: List[OpenOnlin
     return packed, small, omit, omitz
 
 
-def make_online_unpacker(cc: CompiledCircuit):
+def make_online_unpacker(cc: CompiledCircuit, mesh=None):
     """Jitted device fn: packed proof streams -> VERIFY_ONL injection arrays
-    (bit-unpack per stream; z64 recon shares one-hot at the omitted player)."""
+    (bit-unpack per stream; z64 recon shares one-hot at the omitted player).
+    `mesh`: on a multi-process mesh the injection arrays are emitted with
+    their executor-input shardings (rep axis sharded) so each process
+    unpacks only its repetition slice."""
     import jax
     import jax.numpy as jnp
 
@@ -422,6 +431,18 @@ def make_online_unpacker(cc: CompiledCircuit):
         rez_hi = rezv_hi[:, :, None] * onehot[None, :, :]
         return dict(co2=co2, in2=in2, re2=re2, rez_lo=rez_lo, rez_hi=rez_hi)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = mesh.axis_names[0]
+        out_sh = dict(
+            co2=NamedSharding(mesh, P(None, rep)),
+            in2=NamedSharding(mesh, P(None, rep)),
+            re2=NamedSharding(mesh, P(None, rep)),
+            rez_lo=NamedSharding(mesh, P(None, rep, None)),
+            rez_hi=NamedSharding(mesh, P(None, rep, None)),
+        )
+        return jax.jit(fn, out_shardings=out_sh)
     return jax.jit(fn)
 
 
@@ -441,9 +462,26 @@ class TpuKKW:
         size the system and passes it through)."""
         self.params = params
         self.mesh = mesh
+        from ..parallel.distributed import mesh_is_multiprocess
+
+        # process-spanning mesh (multi-host shape): host-read outputs get
+        # replicated out_shardings (XLA all-gathers across processes), and
+        # device-built executor inputs get global out_shardings so each
+        # process computes only its repetition slice
+        self._multiproc = mesh_is_multiprocess(mesh)
         self.cc = compile_program(program) if cc is None else cc
         self._executors: Dict[tuple, Executor] = {}
         self._hash_fns: Dict[tuple, object] = {}
+
+    def _sh(self, *spec):
+        """NamedSharding over self.mesh with the given PartitionSpec entries
+        (None entries replicate that axis); only used when multiprocess."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def _rep_axis_name(self):
+        return self.mesh.axis_names[0]
 
     SCAN_DEPTH_THRESHOLD = SCAN_DEPTH_THRESHOLD
 
@@ -489,6 +527,9 @@ class TpuKKW:
             # the round-1 fusion miscompile was in the *XLA post-processing*,
             # now fused in-kernel (tools/r2_tune.py parts B/C/E)
             and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
+            # GSPMD cannot auto-partition a pallas_call across processes;
+            # multi-process meshes take the XLA kernel (shard_map: round 4)
+            and not self._multiproc
         )
         # verifier rep counts (R=40 online / R=216 preprocessing) reach the
         # kernel by zero-key padding to a full-lane-utilization count and
@@ -520,7 +561,11 @@ class TpuKKW:
                         aj.counter_planes_device(nb),
                         mask,
                     )
-            self._hash_fns[fn_key] = jax.jit(fn, static_argnums=(1,))
+            kw = {}
+            if self._multiproc:
+                # each process builds only its repetition slice of the tape
+                kw["out_shardings"] = self._sh(None, self._rep_axis_name())
+            self._hash_fns[fn_key] = jax.jit(fn, static_argnums=(1,), **kw)
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
@@ -561,7 +606,13 @@ class TpuKKW:
                     aj.counter_planes_device(nb),
                     mask,
                 )
-            self._hash_fns["aesz"] = jax.jit(zfn, static_argnums=(1,))
+            kw = {}
+            if self._multiproc:
+                rep = self._rep_axis_name()
+                kw["out_shardings"] = (
+                    self._sh(None, rep, None), self._sh(None, rep, None)
+                )
+            self._hash_fns["aesz"] = jax.jit(zfn, static_argnums=(1,), **kw)
         nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
         B = nbytes // 16
         if omit is None:
@@ -604,7 +655,14 @@ class TpuKKW:
                 hz = hash_pair_columns(hpz, hoz)
                 return hash_pair_columns(h2, hz), ho2, hoz
 
-        self._hash_fns[key] = jax.jit(fn)
+        kw = {}
+        if self._multiproc:
+            # THE rep-hash all-gather: per-rep hashes are 32 B/rep, so
+            # replicating them to every process is the cheap DCN collective
+            # that lets each process derive the same Fiat-Shamir challenge
+            n_out = 3
+            kw["out_shardings"] = tuple(self._sh() for _ in range(n_out))
+        self._hash_fns[key] = jax.jit(fn, **kw)
         return self._hash_fns[key]
 
     def _pull_hash_fail(self):
@@ -621,7 +679,8 @@ class TpuKKW:
                 parts.append(fail.reshape(-1).astype(jnp.uint8))
                 return jnp.concatenate(parts)
 
-            self._hash_fns["pull_hf"] = jax.jit(fn)
+            kw = {"out_shardings": self._sh()} if self._multiproc else {}
+            self._hash_fns["pull_hf"] = jax.jit(fn, **kw)
         return self._hash_fns["pull_hf"]
 
     # -- proving ------------------------------------------------------------
@@ -719,14 +778,21 @@ class TpuKKW:
             raise AssertionError("witness is too short")
         wl, wh = up.from_u64(witz[: cc.n_witz])
 
-        if "wit_bcast" not in self._hash_fns:
-            import jax
-            import jax.numpy as _jnp
+        if self._multiproc:
+            # host-side broadcast: zero-size outputs reject forced jit
+            # shardings, and witness columns are small; shard_inputs
+            # device_puts the (n_wit, R) arrays with the global sharding
+            def bc(w, r):
+                return np.ascontiguousarray(np.repeat(w, r, axis=1))
+        else:
+            if "wit_bcast" not in self._hash_fns:
+                import jax
+                import jax.numpy as _jnp
 
-            self._hash_fns["wit_bcast"] = jax.jit(
-                lambda w, r: _jnp.repeat(w, r, axis=1), static_argnums=(1,)
-            )
-        bc = self._hash_fns["wit_bcast"]
+                self._hash_fns["wit_bcast"] = jax.jit(
+                    lambda w, r: _jnp.repeat(w, r, axis=1), static_argnums=(1,)
+                )
+            bc = self._hash_fns["wit_bcast"]
         inp = dict(
             tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
             # upload one witness column; broadcast to R lanes on device
@@ -835,7 +901,9 @@ class TpuKKW:
         cache = self._hash_fns["extract2"]
         key = (R, K)
         if key not in cache:
-            cache[key] = make_gf2_extractor(cc)
+            cache[key] = make_gf2_extractor(
+                cc, out_sharding=self._sh() if self._multiproc else None
+            )
         shifts_full = np.zeros(R, dtype=np.uint8)
         shifts_full[cols] = (7 - omit_sel).astype(np.uint8)
         return cache[key](
@@ -875,7 +943,9 @@ class TpuKKW:
         if nr == 0 and nc == 0 and ni == 0:
             return None
         if "extractz" not in self._hash_fns:
-            self._hash_fns["extractz"] = make_z64_extractor(cc)
+            self._hash_fns["extractz"] = make_z64_extractor(
+                cc, out_sharding=self._sh() if self._multiproc else None
+            )
         return self._hash_fns["extractz"](
             out["onlz"], out["prez"],
             jnp.asarray(omit_sel.astype(np.int32)),
@@ -956,15 +1026,20 @@ class TpuKKW:
                 w2c[:, pidx] = a2[: cc.n_wit2]
                 wlc[:, pidx] = lo
                 whc[:, pidx] = hi
-            if "wit_bcast" not in self._hash_fns:
-                import jax
+            if self._multiproc:
+                def bc(w, r):
+                    return np.ascontiguousarray(np.repeat(w, r, axis=1))
+            else:
+                if "wit_bcast" not in self._hash_fns:
+                    import jax
 
-                import jax.numpy as _jnp
+                    import jax.numpy as _jnp
 
-                self._hash_fns["wit_bcast"] = jax.jit(
-                    lambda w, r: _jnp.repeat(w, r, axis=1), static_argnums=(1,)
-                )
-            bc = self._hash_fns["wit_bcast"]
+                    self._hash_fns["wit_bcast"] = jax.jit(
+                        lambda w, r: _jnp.repeat(w, r, axis=1),
+                        static_argnums=(1,),
+                    )
+                bc = self._hash_fns["wit_bcast"]
             wit2, wzlo, wzhi = bc(w2c, R), bc(wlc, R), bc(whc, R)
 
         inp = dict(
@@ -1069,7 +1144,9 @@ class TpuKKW:
                 [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
             )
             if "onl_unpack" not in self._hash_fns:
-                self._hash_fns["onl_unpack"] = make_online_unpacker(cc)
+                self._hash_fns["onl_unpack"] = make_online_unpacker(
+                    cc, mesh=self.mesh if self._multiproc else None
+                )
             inj = self._hash_fns["onl_unpack"](
                 packed["co2p"], packed["in2p"], packed["re2p"], packed["omit_u8"],
                 packed["rezv_lo"], packed["rezv_hi"], packed["omitz_i32"],
