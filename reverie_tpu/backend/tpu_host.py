@@ -926,12 +926,6 @@ class TpuKKW:
             for j in range(K)
         ]
 
-    def _extract_gf2_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
-        """Device extraction of the gf2 opened streams; returns the list of
-        (recons, corrs, inputs) bytes per opened rep."""
-        buf = np.asarray(self._extract_gf2_dispatch(out, cols, omit_sel))
-        return self._parse_gf2_buf(buf, len(cols))
-
     def _extract_z64_dispatch(self, out, cols: np.ndarray, omit_sel: np.ndarray):
         """Enqueue device extraction of the z64 opened streams (omitted-player
         bytes selected before the pull); returns the in-flight device buffer,
@@ -968,14 +962,6 @@ class TpuKKW:
             for j in range(K)
         ]
 
-    def _extract_z64_device(self, out, cols: np.ndarray, omit_sel: np.ndarray):
-        """Device extraction of the z64 opened streams; returns
-        (recons, corrs, inputs) bytes per opened rep."""
-        buf = self._extract_z64_dispatch(out, cols, omit_sel)
-        if buf is not None:
-            buf = np.asarray(buf)
-        return self._parse_z64_buf(buf, len(cols))
-
     # -- batch proving ------------------------------------------------------
     def prove_batch(self, witnesses, seeds: Optional[np.ndarray] = None):
         """Prove N independent statements of the same circuit in one device
@@ -983,6 +969,51 @@ class TpuKKW:
         `seeds`: (N, total_reps, 16).  All N x 256 repetitions execute as one
         lane axis; per-proof challenges/extraction happen on host.
         Returns a list of Proofs (each independently reference-compatible)."""
+        st = self._batch_dispatch(witnesses, seeds)
+        self._batch_challenge(st)
+        return self._batch_assemble(st)
+
+    def prove_batch_chunked(self, witnesses, seeds: Optional[np.ndarray] = None,
+                            chunk: int = 64):
+        """Software-pipelined chunked batch proving: the device computes
+        chunk i+1 while chunk i's Fiat-Shamir challenge, proof pull, and host
+        assembly run (same 3-stage pipeline as prove_many, at batch width).
+        Sized for config-5-scale workloads (e.g. 1024 SHA-256 proofs on one
+        chip) where one device batch of all N would exceed HBM."""
+        import os as _os
+
+        n = len(witnesses)
+        R = self.params.total_reps
+        if seeds is None:
+            seeds = np.frombuffer(
+                _os.urandom(n * R * KEY_SIZE), dtype=np.uint8
+            ).reshape(n, R, KEY_SIZE)
+        seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(n, R, KEY_SIZE)
+        bounds = [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
+        k = len(bounds)
+        states: list = [None] * k
+        proofs: list = [None] * n
+
+        def assemble(ci):
+            lo, hi = bounds[ci]
+            proofs[lo:hi] = self._batch_assemble(states[ci])
+            states[ci] = None
+
+        for ci, (lo, hi) in enumerate(bounds):
+            states[ci] = self._batch_dispatch(witnesses[lo:hi], seeds[lo:hi])
+            if ci >= 1:
+                self._batch_challenge(states[ci - 1])
+            if ci >= 2:
+                assemble(ci - 2)
+        self._batch_challenge(states[k - 1])
+        if k >= 2:
+            assemble(k - 2)
+        assemble(k - 1)
+        return proofs
+
+    def _batch_dispatch(self, witnesses, seeds: Optional[np.ndarray] = None):
+        """Batch pipeline stage 1: enqueue tapes, batched execution, and
+        transcript hashing for N statements; start the async hash pull."""
         cc, params = self.cc, self.params
         N = len(witnesses)
         R = params.total_reps
@@ -1060,10 +1091,25 @@ class TpuKKW:
             rep_h, ho2, hoz = self._hash_fn(False)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"]
             )
-            buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
+            dbuf = self._pull_hash_fail()(rep_h, out["fail"], ho2, hoz)
+            try:
+                dbuf.copy_to_host_async()
+            except AttributeError:
+                pass
+        return dict(N=N, seeds=seeds, player_keys=player_keys, out=out,
+                    dbuf=dbuf, timer=timer, profile=profile)
+
+    def _batch_challenge(self, st):
+        """Batch pipeline stage 2: block on the hash pull, derive each
+        proof's challenge, enqueue extraction + async pulls."""
+        params = self.params
+        N, R = st["N"], params.total_reps
+        RT = N * R
+        timer = st["timer"]
+        buf = np.asarray(st.pop("dbuf"))
         rep_h = buf[: RT * 32].reshape(N, R, 32)
-        ho2 = buf[RT * 32 : 2 * RT * 32].reshape(N, R, 32)
-        hoz = buf[2 * RT * 32 : 3 * RT * 32].reshape(N, R, 32)
+        st["ho2"] = buf[RT * 32 : 2 * RT * 32].reshape(N, R, 32)
+        st["hoz"] = buf[2 * RT * 32 : 3 * RT * 32].reshape(N, R, 32)
         fail = buf[3 * RT * 32 :].reshape(N, R)
         if fail.any():
             bad = int(np.nonzero(fail.any(axis=1))[0][0])
@@ -1076,15 +1122,35 @@ class TpuKKW:
                 for rep, pl in challenge_to_opening(comms[pidx], params).items():
                     omits[pidx, rep] = pl
 
-        import jax.numpy as jnp
-
         flat_omit = omits.reshape(RT)
         cols = np.nonzero(flat_omit < 8)[0]
         omit_sel = flat_omit[cols]
-        with timer.phase("extract_pull"):
-            open2 = self._extract_gf2_device(out, cols, omit_sel)
-            openz = self._extract_z64_device(out, cols, omit_sel)
+        out = st.pop("out")
+        with timer.phase("extract_dispatch"):
+            st["g2buf"] = self._extract_gf2_dispatch(out, cols, omit_sel)
+            st["zbuf"] = self._extract_z64_dispatch(out, cols, omit_sel)
+            for b in (st["g2buf"], st["zbuf"]):
+                if b is not None:
+                    try:
+                        b.copy_to_host_async()
+                    except AttributeError:
+                        pass
+        st.update(comms=comms, omits=omits, K=len(cols))
 
+    def _batch_assemble(self, st):
+        """Batch pipeline stage 3: block on the opened-stream pulls and
+        assemble the N proof containers."""
+        params = self.params
+        N, R, K = st["N"], params.total_reps, st["K"]
+        timer, profile = st["timer"], st["profile"]
+        with timer.phase("extract_pull"):
+            open2 = self._parse_gf2_buf(np.asarray(st["g2buf"]), K)
+            openz = self._parse_z64_buf(
+                None if st["zbuf"] is None else np.asarray(st["zbuf"]), K
+            )
+        seeds, player_keys = st["seeds"], st["player_keys"]
+        comms, omits = st["comms"], st["omits"]
+        ho2, hoz = st["ho2"], st["hoz"]
         timer_assemble = timer.phase("assemble")
         timer_assemble.__enter__()
         proofs = []

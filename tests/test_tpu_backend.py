@@ -115,6 +115,23 @@ def test_prove_batch_matches_single():
         assert sys_.verify(batch[i])
 
 
+def test_prove_batch_chunked_matches_batch():
+    """Chunked pipelined batch proving (chunk i+1's device compute overlaps
+    chunk i's challenge/pull/assembly) is byte-identical to prove_batch,
+    including a ragged tail chunk."""
+    prog, wit2, witz = mul_bench_circuit(8)
+    rng = np.random.RandomState(17)
+    n = 5
+    seeds = rng.randint(0, 256, size=(n, 256, 16), dtype=np.uint8)
+    sys_ = TpuKKW(prog)
+    wits = [(wit2, witz)] * n
+    chunked = sys_.prove_batch_chunked(wits, seeds=seeds, chunk=2)
+    base = sys_.prove_batch(wits, seeds=seeds)
+    for i in range(n):
+        assert chunked[i].to_bytes() == base[i].to_bytes(), i
+    assert sys_.verify(chunked[-1])
+
+
 def test_prove_many_matches_single():
     """Pipelined proving (prove_many) must produce byte-identical proofs to
     prove() for the same seeds -- the pipeline only reorders host/device
