@@ -94,6 +94,62 @@ def _check_device(timeout_s: float = 180.0) -> None:
     log(f"devices: {devices}")
 
 
+def _sha256_batch_bench() -> dict:
+    """Secondary metrics: the deep-circuit flagship (SHA-256 preimage,
+    depth ~5200 -> scan executor) as single-proof latency and sustained
+    chunked-batch throughput (config 5 shape).  These are device-bound on
+    this rig (the 1M headline is tunnel-bound), so they track kernel work.
+    Skippable via BENCH_SHA256=0; errors degrade to an error field."""
+    if os.environ.get("BENCH_SHA256", "1") == "0":
+        return {}
+    try:
+        import hashlib
+
+        from reverie_tpu.backend.tpu_host import TpuKKW
+        from reverie_tpu.circuit.sha256 import (
+            block_to_witness_bits,
+            sha256_pad_one_block,
+            sha256_preimage_statement,
+        )
+
+        msg = b"reverie-tpu bench"
+        prog, _ = sha256_preimage_statement(hashlib.sha256(msg).digest())
+        wit = block_to_witness_bits(sha256_pad_one_block(msg))
+        sys_ = TpuKKW(prog)
+        rng = np.random.RandomState(3)
+        seeds1 = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
+        t0 = time.time()
+        proof = sys_.prove(wit, [], seeds=seeds1)
+        log(f"  sha256 warmup prove {time.time()-t0:.1f}s")
+        dt1 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            proof = sys_.prove(wit, [], seeds=seeds1)
+            dt1 = min(dt1, time.time() - t0)
+        ok1 = sys_.verify(proof)
+        n, chunk = 128, 64
+        seeds = rng.randint(0, 256, size=(n, 256, 16), dtype=np.uint8)
+        wits = [(wit, [])] * n
+        t0 = time.time()
+        proofs = sys_.prove_batch_chunked(wits, seeds=seeds, chunk=chunk)
+        warm = time.time() - t0
+        t0 = time.time()
+        proofs = sys_.prove_batch_chunked(wits, seeds=seeds, chunk=chunk)
+        dt = time.time() - t0
+        ok = ok1 and sys_.verify(proofs[0]) and sys_.verify(proofs[-1])
+        log(f"  sha256 single {dt1:.3f}s; chunked x{n}: {dt:.2f}s "
+            f"(warm {warm:.1f}s) = {n/dt:.1f} proofs/s ok={ok}")
+        return {
+            "sha256_single_prove_s": round(dt1, 4),
+            "sha256_batch_proofs_per_s": round(n / dt, 2),
+            "sha256_batch_n": n,
+            "sha256_ok": bool(ok),
+        }
+    except Exception as e:  # noqa: BLE001 -- secondary metric must not kill the bench
+        log(f"  sha256 bench failed: {e!r}")
+        return {"sha256_error": str(e)[:160]}
+
+
 def main() -> None:
     _check_device()
     import jax
@@ -181,6 +237,7 @@ def main() -> None:
         "verify_ok": bool(ok),
         "verify_s": round(dt_verify, 3),
     }
+    result.update(_sha256_batch_bench())
     if ok:
         _write_last_measured(result)
     print(

@@ -13,6 +13,9 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -21,6 +24,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_multiprocess_mesh_byte_identity(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
     port = _free_port()

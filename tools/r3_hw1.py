@@ -106,6 +106,24 @@ def part_batch(sys_=None, wit=None):
             break
 
 
+def part_chunk(sys_=None, wit=None):
+    """config 5: large batches through prove_batch_chunked (chunk=64 device
+    batches pipelined; N=64 compile shared)."""
+    if sys_ is None:
+        sys_, wit = sha256_system()
+    rng = np.random.RandomState(13)
+    for N in (256, 1024):
+        seeds = rng.randint(0, 256, size=(N, 256, 16), dtype=np.uint8)
+        wits = [(wit, [])] * N
+        t0 = time.time()
+        proofs = sys_.prove_batch_chunked(wits, seeds=seeds, chunk=64)
+        dt = time.time() - t0
+        ok = sys_.verify(proofs[0]) and sys_.verify(proofs[-1])
+        log(f"  chunked N={N}: {dt:.2f}s = {N/dt:.1f} proofs/s ok={ok}")
+        print(json.dumps({"part": f"sha256_chunked{N}", "total_s": round(dt, 2),
+                          "proofs_per_s": round(N / dt, 2), "ok": bool(ok)}))
+
+
 def part_z64():
     os.environ["REVERIE_PROFILE"] = "1"
     from reverie_tpu.backend.tpu_host import TpuKKW
@@ -133,12 +151,14 @@ def part_z64():
 
 def main():
     setup()
-    parts = sys.argv[1:] or ["sha1", "batch", "z64"]
+    parts = sys.argv[1:] or ["sha1", "batch", "chunk", "z64"]
     ctx = None
     if "sha1" in parts:
         ctx = part_sha1()
     if "batch" in parts:
         part_batch(*(ctx or (None, None)))
+    if "chunk" in parts:
+        part_chunk(*(ctx or (None, None)))
     if "z64" in parts:
         part_z64()
 
