@@ -216,6 +216,33 @@ def _chunk_cvs(words, nblocks: int, block_lens: np.ndarray, counters: np.ndarray
     return r0, r1
 
 
+def _chunk_cvs_indexed(words, chunk_base):
+    """CVs of full chunks WITHOUT the global block-major transpose: the scan
+    runs over the block index and dynamic-slices each (n, 16, R) block plane
+    out of the natural (n, 16, 16, R) words layout.  _chunk_cvs' swapaxes
+    pair relayouts the whole 0.5 GB transcript before compressing (~half
+    the production hash_columns time at the 1M-gate shape); slicing inside
+    the body reads each plane once with contiguous 16*R-word rows."""
+    n, R = words.shape[0], words.shape[-1]
+    ctr = (jnp.asarray(chunk_base, U32) + jnp.arange(n, dtype=U32)).reshape(n, 1)
+    flags = np.zeros(16, np.uint32)
+    flags[0] |= CHUNK_START
+    flags[-1] |= CHUNK_END
+    iv = tuple(
+        jnp.broadcast_to(jnp.asarray(int(IV[i]), U32), (n, R)) for i in range(8)
+    )
+
+    def body(cv, x):
+        j, flg = x
+        m3 = jax.lax.dynamic_index_in_dim(words, j, axis=1, keepdims=False)
+        out = compress_words(cv, [m3[:, i] for i in range(16)], ctr, 0, 64, flg)
+        return out, None
+
+    xs = (jnp.arange(16, dtype=jnp.int32), jnp.asarray(flags, U32))
+    cv, _ = jax.lax.scan(body, iv, xs)
+    return jnp.stack(cv[:4], axis=0), jnp.stack(cv[4:], axis=0)
+
+
 def _bulk_cvs(words, chunk_base):
     """CVs of full (16x64 B) chunks: words (n, 16, 16, R) u32, chunk_base the
     global counter of chunk 0 (int or traced scalar).
@@ -226,7 +253,9 @@ def _bulk_cvs(words, chunk_base):
     "3" = v3 (v1 layout + 128-lane tiles).  Hardware round 3
     (tools/r3_blake3_hw.py, chained-input protocol): at the 1M-gate
     transcript shape the XLA words-scan runs ~55 GB/s on pre-materialized
-    words, v2 ~49, v3 ~25, v1 ~21 -- so the XLA path stays the default."""
+    words, v2 ~49, v3 ~25, v1 ~21 -- so the XLA path stays the default.
+    REVERIE_BLAKE3_SCAN=1 restores the transposed-scan form (the indexed
+    scan skips the 0.5 GB block-major relayout; see _chunk_cvs_indexed)."""
     import os
 
     n, R = words.shape[0], words.shape[-1]
@@ -244,6 +273,8 @@ def _bulk_cvs(words, chunk_base):
             sel, bp.chunk_cvs_pallas
         )
         return fn(words, chunk_base)
+    if not os.environ.get("REVERIE_BLAKE3_SCAN"):
+        return _chunk_cvs_indexed(words, chunk_base)
     ctr = jnp.asarray(chunk_base, U32) + jnp.arange(n, dtype=U32)
     return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr, use_words=True)
 

@@ -192,6 +192,7 @@ def test_streamed_deep_segments_use_scan_executor():
     assert sk.verify(proof)
 
 
+@pytest.mark.slow
 def test_streamed_deep_z64_segments():
     """Deep z64 chain streamed through scan-mode segments with z64 carry
     rows crossing every boundary."""
@@ -211,6 +212,7 @@ def test_streamed_deep_z64_segments():
     assert sk.verify(proof)
 
 
+@pytest.mark.slow
 def test_streamed_multiblock_sha256():
     """Flagship deep+wide workload: 2-block SHA-256 preimage (45k ANDs,
     ~10.4k levels) proved through streamed scan-mode segments, byte-identical
@@ -255,6 +257,7 @@ def test_streamed_verify_rejects_malformed():
     assert not sk.verify(bad)
 
 
+@pytest.mark.slow
 def test_streamed_deep_mesh_composition():
     """Everything composes: deep circuit, streamed segments, scan executors,
     8-device mesh sharding -- proof bytes unchanged."""

@@ -231,6 +231,7 @@ def _deep_b2a_mixed_circuit(chain: int = 200):
     return prog, wit2, witz
 
 
+@pytest.mark.slow
 def test_scan_executor_deep_z64_circuit():
     """Deep z64 circuits route through the scan executor (round-2c: the scan
     body computes every z64 gate family + opcode-select); proof bytes must
@@ -260,6 +261,7 @@ def test_scan_executor_deep_z64_circuit():
     assert sys_.verify(tpu_proof)
 
 
+@pytest.mark.slow
 def test_scan_executor_deep_b2a_circuit():
     """Deep mixed GF2+Z64+B2A circuit through the scan executor: B2A slots
     bridge the domains inside the scan body (bit gathers from the GF2 arena,
@@ -277,6 +279,7 @@ def test_scan_executor_deep_b2a_circuit():
     assert sys_.verify(tpu_proof)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_scan_z64_prove_matches():
     """Deep z64+B2A circuit through the scan executor under an 8-device
     mesh: rep-axis sharding must not change proof bytes (the z64 event
@@ -306,6 +309,7 @@ def test_prove_batch_deep_circuit_scan():
         assert batch[i].to_bytes() == single.to_bytes(), i
 
 
+@pytest.mark.slow
 def test_scan_executor_z64_all_ops_wide():
     """All z64 gate kinds (INPUT/ADD/SUB/ADDC/SUBC/MULC/MUL/CONST/RANDOM/
     ASSERT) in a deep circuit wide enough to saturate z64 wave slots
@@ -357,6 +361,7 @@ def test_scan_executor_z64_all_ops_wide():
     assert sys_.verify(tpu_proof)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
 def test_scan_vs_unrolled_randomized(seed, monkeypatch):
     """Randomized differential sweep: force the scan executor onto small

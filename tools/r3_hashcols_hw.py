@@ -25,7 +25,10 @@ R = 256
 
 def run(T, variant, iters=5):
     os.environ.pop("REVERIE_PALLAS_BLAKE3", None)
-    if variant != "xla":
+    os.environ.pop("REVERIE_BLAKE3_SCAN", None)
+    if variant == "scan":  # the pre-round-3 transposed words-scan
+        os.environ["REVERIE_BLAKE3_SCAN"] = "1"
+    elif variant not in ("xla", "idx"):  # "xla"/"idx" = indexed scan default
         os.environ["REVERIE_PALLAS_BLAKE3"] = variant
     GB = T * R / 1e9
 
@@ -64,7 +67,7 @@ def run(T, variant, iters=5):
 
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
-    variants = sys.argv[1:] or ["xla", "2", "3"]
+    variants = sys.argv[1:] or ["idx", "scan", "2"]
     for T in (2_000_000, 1_000_000):
         for v in variants:
             run(T, v)

@@ -150,6 +150,9 @@ def takes_only(carry, w):
 
 def run(name, body, has_ys):
     def outer(seed, xs, tape2_a, wit2_a):
+        # thread the tape/witness through module globals ONCE per trace --
+        # safe only because bodies are re-traced per jit entry (advisor
+        # round-2 note); r3_scanbench5/6 use closure params instead
         global tape2, wit2
         tape2, wit2 = tape2_a, wit2_a
         mask2 = jnp.full((V2, R), seed, U8)
