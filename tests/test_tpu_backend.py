@@ -231,7 +231,6 @@ def _deep_b2a_mixed_circuit(chain: int = 200):
     return prog, wit2, witz
 
 
-@pytest.mark.slow
 def test_scan_executor_deep_z64_circuit():
     """Deep z64 circuits route through the scan executor (round-2c: the scan
     body computes every z64 gate family + opcode-select); proof bytes must
