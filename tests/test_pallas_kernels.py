@@ -24,7 +24,14 @@ def _keys(R: int) -> np.ndarray:
     return expand_seeds(seeds).reshape(R, 8, 16)
 
 
-@pytest.mark.parametrize("n_blocks,R", [(16, 32), (24, 32), (32, 256)])
+@pytest.mark.parametrize(
+    "n_blocks,R",
+    [
+        pytest.param(16, 32, marks=pytest.mark.slow),
+        pytest.param(24, 32, marks=pytest.mark.slow),
+        (32, 256),
+    ],
+)
 def test_pallas_tape_matches_host_golden(n_blocks, R):
     # R=32 -> Kw=8 (bpr=16 lane packing); R=256 -> Kw=64 (bpr=2, the
     # single-proof headline shape)
@@ -39,6 +46,7 @@ def test_pallas_tape_matches_host_golden(n_blocks, R):
     np.testing.assert_array_equal(tape, golden)
 
 
+@pytest.mark.slow
 def test_pallas_tape_start_block_windows():
     """start_block windows the CTR: the kernel's rows [0, m2s) at
     start_block=b0 must equal the whole tape's rows [b0*128, ...)
@@ -58,6 +66,7 @@ def test_pallas_tape_start_block_windows():
         np.testing.assert_array_equal(tape, golden[b0 * 128 : (b0 + nb) * 128])
 
 
+@pytest.mark.slow
 def test_pallas_tape_lane_mask_omits_players():
     R = 32
     pk = _keys(R)
