@@ -98,6 +98,32 @@ def _add_round_key(planes, rkp_round):
     return [p ^ rkp_round[:, i, None, :] for i, p in enumerate(planes)]
 
 
+def _mid_rounds(planes, rkp_mid):
+    """The 9 structurally-identical middle AES rounds as a lax.scan over the
+    round-key planes.  The unrolled form (~16k HLO ops: 16 bytes x 113-gate
+    S-box x 9 rounds) takes XLA:CPU tens of minutes to compile on small
+    hosts (observed when this container migrated to a 4-core machine); the
+    scan body is one round.  REVERIE_AES_UNROLL=1 restores the unrolled
+    graph for A/B on TPU (where the Pallas kernel is the default anyway)."""
+    import os
+
+    def body(pl, rk):
+        pl = list(pl)
+        pl = _sub_bytes(pl)
+        pl = _shift_rows(pl)
+        pl = _mix_columns(pl)
+        pl = _add_round_key(pl, rk)
+        return jax.lax.optimization_barrier(tuple(pl)), None
+
+    if os.environ.get("REVERIE_AES_UNROLL"):
+        pl = tuple(planes)
+        for r in range(rkp_mid.shape[0]):
+            pl, _ = body(pl, rkp_mid[r])
+        return list(pl)
+    pl, _ = jax.lax.scan(body, tuple(planes), rkp_mid)
+    return list(pl)
+
+
 def aes_ctr_tape_gf2(rkp, ctrp, lane_mask):
     """rkp: (11, 16, 8, Kw) u32 round-key planes; ctrp: (16, 8, B) uint8
     counter-block bit values (0/1); lane_mask: (Kw,) u32 (omitted-player
@@ -111,12 +137,7 @@ def aes_ctr_tape_gf2(rkp, ctrp, lane_mask):
          ^ rkp[0][:, i, None, :])
         for i in range(8)
     ]
-    for rnd in range(1, 10):
-        planes = _sub_bytes(planes)
-        planes = _shift_rows(planes)
-        planes = _mix_columns(planes)
-        planes = _add_round_key(planes, rkp[rnd])
-        planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    planes = _mid_rounds(planes, rkp[1:10])
     planes = _sub_bytes(planes)
     planes = _shift_rows(planes)
     planes = _add_round_key(planes, rkp[10])
@@ -181,36 +202,53 @@ def round_key_planes_device(keys):
     tensor is 45x larger than the keys and dominated prove_batch's tape
     phase over the slow host<->device link."""
     kp = key_planes_device(keys)  # (16, 8, Kw)
-    st = [[kp[by, bit] for bit in range(8)] for by in range(16)]
-    rounds = [st]
-    full = jnp.asarray(0xFFFFFFFF, U32)
-    for r in range(10):
+    Kw = kp.shape[-1]
+    # rcon as per-round bit-plane XOR masks so every round's body is
+    # identical and the 10 rounds run as a lax.scan (the unrolled schedule's
+    # 40 S-box graphs take XLA:CPU many minutes on small hosts; see
+    # _mid_rounds).  REVERIE_AES_UNROLL=1 restores the unrolled form.
+    import os
+
+    rc_xs = jnp.asarray(
+        np.array(
+            [[0xFFFFFFFF if (rc >> bit) & 1 else 0 for bit in range(8)]
+             for rc in _RCON],
+            dtype=np.uint32,
+        )
+    )  # (10, 8)
+
+    def body(st, rc_bits):
         # temp = SubWord(RotWord(w3)) ^ rcon  (FIPS-197 5.2)
-        rot = [st[13], st[14], st[15], st[12]]
+        stl = [[st[by, bit] for bit in range(8)] for by in range(16)]
+        rot = [stl[13], stl[14], stl[15], stl[12]]
         temp = []
         for b in rot:
             msb = [b[7 - i] for i in range(8)]
             sb = sbox_bitsliced(msb, _xor, _and, _not)
             temp.append([sb[7 - i] for i in range(8)])
-        rc = _RCON[r]
-        temp[0] = [
-            temp[0][bit] ^ full if (rc >> bit) & 1 else temp[0][bit]
-            for bit in range(8)
-        ]
+        temp[0] = [temp[0][bit] ^ rc_bits[bit] for bit in range(8)]
         new_st = []
-        carry = temp  # 4 bytes x 8 planes
+        carry = temp
         for wi in range(4):
             word = []
             for bi in range(4):
-                old = st[wi * 4 + bi]
+                old = stl[wi * 4 + bi]
                 word.append([old[bit] ^ carry[bi][bit] for bit in range(8)])
             new_st.extend(word)
             carry = word
-        st = new_st
-        rounds.append(st)
-    return jnp.stack([
-        jnp.stack([jnp.stack(byp, 0) for byp in rnd], 0) for rnd in rounds
-    ], 0)  # (11, 16, 8, Kw)
+        out = jnp.stack([jnp.stack(byp, 0) for byp in new_st], 0)
+        return out, out
+
+    if os.environ.get("REVERIE_AES_UNROLL"):
+        st, ys = kp, []
+        for r in range(10):
+            st, y = body(st, rc_xs[r])
+            ys.append(y)
+        rounds = jnp.stack([kp] + ys, 0)
+    else:
+        _, ys = jax.lax.scan(body, kp, rc_xs)
+        rounds = jnp.concatenate([kp[None], ys], axis=0)
+    return rounds  # (11, 16, 8, Kw)
 
 
 _RKP_JIT = None
@@ -275,12 +313,7 @@ def _keystream_planes(rkp, ctrp, lane_mask):
          ^ rkp[0][:, i, None, :])
         for i in range(8)
     ]
-    for rnd in range(1, 10):
-        planes = _sub_bytes(planes)
-        planes = _shift_rows(planes)
-        planes = _mix_columns(planes)
-        planes = _add_round_key(planes, rkp[rnd])
-        planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    planes = _mid_rounds(planes, rkp[1:10])
     planes = _sub_bytes(planes)
     planes = _shift_rows(planes)
     planes = _add_round_key(planes, rkp[10])
