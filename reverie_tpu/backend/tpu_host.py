@@ -717,6 +717,8 @@ class TpuKKW:
         import os as _os
 
         n = len(jobs)
+        if n == 0:
+            return []
         R = self.params.total_reps
         if seeds is None:
             seeds = np.frombuffer(
@@ -979,10 +981,17 @@ class TpuKKW:
         chunk i+1 while chunk i's Fiat-Shamir challenge, proof pull, and host
         assembly run (same 3-stage pipeline as prove_many, at batch width).
         Sized for config-5-scale workloads (e.g. 1024 SHA-256 proofs on one
-        chip) where one device batch of all N would exceed HBM."""
+        chip) where one device batch of all N would exceed HBM.
+
+        Peak HBM is ~2x one chunk's footprint: chunk i's full transcript
+        streams stay live (awaiting challenge + extraction pulls) while chunk
+        i+1 dispatches -- size `chunk` so 2x device_footprint(cc, chunk*R)
+        fits the HBM budget."""
         import os as _os
 
         n = len(witnesses)
+        if n == 0:
+            return []
         R = self.params.total_reps
         if seeds is None:
             seeds = np.frombuffer(
@@ -1184,6 +1193,18 @@ class TpuKKW:
         return proofs
 
     # -- verification -------------------------------------------------------
+    def _rep_pad(self, R: int) -> int:
+        """Smallest rep count >= R divisible by the mesh size.  Verifier rep
+        counts (40 online / 216 preprocessing) don't divide meshes larger
+        than 8 devices; the re-executions pad with dummy repetition lanes
+        (zero keys/streams, outputs sliced back to R) so ONE proof scales
+        past gcd(256,40,216)=8 devices.  The reference's analog is rayon
+        over any number of packed groups (proof/mod.rs:249,266)."""
+        if self.mesh is None:
+            return R
+        D = self.mesh.size
+        return ((R + D - 1) // D) * D
+
     def verify(self, proof: Proof, strict_zero_check: bool = True) -> bool:
         import os as _os
 
@@ -1199,6 +1220,7 @@ class TpuKKW:
 
         # ---- online re-execution (all 40 opened reps as one batch) --------
         Ro = params.online_reps
+        Rop = self._rep_pad(Ro)
         with timer.phase("onl_inject"):
             packed, small, omit, omitz = build_online_injection_packed(
                 cc, proof.gf2.online, proof.z64.online
@@ -1209,6 +1231,24 @@ class TpuKKW:
             player_keysz = np.stack(
                 [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, KEY_SIZE) for o in proof.z64.online]
             )
+            if Rop != Ro:
+                pad = Rop - Ro
+                player_keys = np.concatenate(
+                    [player_keys, np.zeros((pad, 8, KEY_SIZE), np.uint8)])
+                player_keysz = np.concatenate(
+                    [player_keysz, np.zeros((pad, 8, KEY_SIZE), np.uint8)])
+                omit = np.concatenate([omit, np.full(pad, 8, omit.dtype)])
+                omitz = np.concatenate([omitz, np.full(pad, 8, omitz.dtype)])
+                packed = {
+                    k: np.concatenate(
+                        [v, np.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+                    for k, v in packed.items()
+                }
+                small = {
+                    k: np.concatenate(
+                        [v, np.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+                    for k, v in small.items()
+                }
             if "onl_unpack" not in self._hash_fns:
                 self._hash_fns["onl_unpack"] = make_online_unpacker(
                     cc, mesh=self.mesh if self._multiproc else None
@@ -1254,7 +1294,7 @@ class TpuKKW:
                 from ..parallel.mesh import shard_inputs
 
                 inp = shard_inputs(self.mesh, inp)
-            out = self._executor(VERIFY_ONL, Ro)(inp)
+            out = self._executor(VERIFY_ONL, Rop)(inp)
             if profile:
                 import jax
 
@@ -1265,12 +1305,15 @@ class TpuKKW:
             )
             # one fused device->host pull for hashes + fail flags
             buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"]))
-            hashes_online = buf[: Ro * 32].reshape(Ro, 32)  # (40, 32)
-            if strict_zero_check and buf[Ro * 32 :].any():
+            # dummy pad lanes (zero keys/streams) compute garbage: slice to
+            # the real online reps before the fail check
+            hashes_online = buf[: Rop * 32].reshape(Rop, 32)[:Ro]  # (40, 32)
+            if strict_zero_check and buf[Rop * 32 : Rop * 32 + Ro].any():
                 return False
 
         # ---- preprocessing re-execution -----------------------------------
         Rp = params.preprocessing_reps
+        Rpp = self._rep_pad(Rp)
         seeds2 = np.stack(
             [np.frombuffer(p.seed, dtype=np.uint8) for p in proof.gf2.preprocessing]
         )
@@ -1283,9 +1326,15 @@ class TpuKKW:
         commz = np.stack(
             [np.frombuffer(p.comm_online, dtype=np.uint8) for p in proof.z64.preprocessing]
         )
+        if Rpp != Rp:
+            pad = Rpp - Rp
+            seeds2 = np.concatenate([seeds2, np.zeros((pad, KEY_SIZE), np.uint8)])
+            seedsz = np.concatenate([seedsz, np.zeros((pad, KEY_SIZE), np.uint8)])
+            comm2 = np.concatenate([comm2, np.zeros((pad, 32), np.uint8)])
+            commz = np.concatenate([commz, np.zeros((pad, 32), np.uint8)])
         with timer.phase("pre_tape"):
-            pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
-            pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
+            pk2 = expand_seeds(seeds2).reshape(Rpp, 8, KEY_SIZE)
+            pkz = expand_seeds(seedsz).reshape(Rpp, 8, KEY_SIZE)
             tape2 = self._gf2_tape(pk2, None)
             tz_lo, tz_hi = self._z64_tape(pkz, None)
         with timer.phase("pre_exec"):
@@ -1294,7 +1343,7 @@ class TpuKKW:
                 from ..parallel.mesh import shard_inputs
 
                 inp = shard_inputs(self.mesh, inp)
-            out = self._executor(VERIFY_PRE, Rp)(inp)
+            out = self._executor(VERIFY_PRE, Rpp)(inp)
             if profile:
                 import jax
 
@@ -1303,7 +1352,7 @@ class TpuKKW:
             rep_h, _, _ = self._hash_fn(True)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz
             )
-            hashes_pre = np.asarray(rep_h)  # (216, 32)
+            hashes_pre = np.asarray(rep_h)[:Rp]  # (216, 32)
 
         # ---- reorder + commitment check -----------------------------------
         open_map = challenge_to_opening(proof.comm, params)

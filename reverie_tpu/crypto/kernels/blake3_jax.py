@@ -244,39 +244,49 @@ def _chunk_cvs_indexed(words, chunk_base):
 
 
 def _bulk_cvs(words, chunk_base):
-    """CVs of full (16x64 B) chunks: words (n, 16, 16, R) u32, chunk_base the
-    global counter of chunk 0 (int or traced scalar).
-
-    REVERIE_PALLAS_BLAKE3 selects a Pallas chunk-CV kernel: "1" = v1
-    (block-major, 2-vreg words -- measured slower than XLA, kept as a
-    differential oracle), "2" = v2 ((16,16,n,R) word-contiguous tiles),
-    "3" = v3 (v1 layout + 128-lane tiles).  Hardware round 3
-    (tools/r3_blake3_hw.py, chained-input protocol): at the 1M-gate
-    transcript shape the XLA words-scan runs ~55 GB/s on pre-materialized
-    words, v2 ~49, v3 ~25, v1 ~21 -- so the XLA path stays the default.
+    """CVs of full (16x64 B) chunks from pre-materialized words: words
+    (n, 16, 16, R) u32, chunk_base the global counter of chunk 0 (int or
+    traced scalar).  XLA path only -- the production TPU route is
+    _bulk_cvs_bytes, which skips the words materialization entirely.
     REVERIE_BLAKE3_SCAN=1 restores the transposed-scan form (the indexed
     scan skips the 0.5 GB block-major relayout; see _chunk_cvs_indexed)."""
     import os
 
-    n, R = words.shape[0], words.shape[-1]
-    sel = os.environ.get("REVERIE_PALLAS_BLAKE3")
-    if (
-        jax.default_backend() == "tpu"
-        and sel
-        and not os.environ.get("REVERIE_NO_PALLAS")
-        and R % 128 == 0
-        and n >= 16
-    ):
-        from . import blake3_pallas as bp
-
-        fn = {"2": bp.chunk_cvs_pallas2, "3": bp.chunk_cvs_pallas3}.get(
-            sel, bp.chunk_cvs_pallas
-        )
-        return fn(words, chunk_base)
+    n = words.shape[0]
     if not os.environ.get("REVERIE_BLAKE3_SCAN"):
         return _chunk_cvs_indexed(words, chunk_base)
     ctr = jnp.asarray(chunk_base, U32) + jnp.arange(n, dtype=U32)
     return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr, use_words=True)
+
+
+def _bulk_cvs_bytes(buf, n_bulk: int, chunk_base):
+    """CVs of the first `n_bulk` full chunks straight from transcript bytes:
+    buf (>= n_bulk*1024 rows, R) uint8 in the natural layout.
+
+    On TPU this dispatches to the from-bytes Pallas kernel
+    (blake3_pallas.chunk_cvs_from_bytes): the bytes->words combine is a free
+    sublane bitcast in-kernel and the 16-word state stays in vregs, removing
+    the strided-u8 XLA pass + 0.5 GB u32 intermediate the word paths pay
+    (round-3 HW: 27 ms production vs 9 ms pre-materialized words at T=2M).
+    REVERIE_BLAKE3_FB=0 restores the XLA path, =nt selects the
+    no-corner-turn kernel variant."""
+    import os
+
+    R = buf.shape[1]
+    sel = os.environ.get("REVERIE_BLAKE3_FB", "1")
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("REVERIE_NO_PALLAS")
+        and sel != "0"
+        and n_bulk >= 2
+    ):
+        from . import blake3_pallas as bp
+
+        return bp.chunk_cvs_from_bytes(
+            buf, n_bulk, chunk_base, transpose=(sel != "nt")
+        )
+    words = _bytes_to_words(buf[: n_bulk * 1024]).reshape(n_bulk, 16, 16, R)
+    return _bulk_cvs(words, chunk_base)
 
 
 def _tree_reduce(r0, r1, is_root: bool):
@@ -321,7 +331,6 @@ def hash_columns(buf, T: int):
     buf = buf[:T]
     if padded != T:
         buf = jnp.concatenate([buf, jnp.zeros((padded - T, R), jnp.uint8)], axis=0)
-    words = _bytes_to_words(buf).reshape(n_chunks, 16, 16, R)
 
     rem = T - (n_chunks - 1) * 1024
     nb_tail = max(1, (rem + 63) // 64)
@@ -329,12 +338,16 @@ def hash_columns(buf, T: int):
     tail_lens[nb_tail - 1] = rem - (nb_tail - 1) * 64
 
     if n_chunks == 1:
+        words = _bytes_to_words(buf).reshape(1, 16, 16, R)
         r0, r1 = _chunk_cvs(words[:, :nb_tail], nb_tail, tail_lens, np.array([0]),
                             last_flags_extra=ROOT)
         out = (r0[:, 0], r1[:, 0])
     else:
-        f0, f1 = _bulk_cvs(words[:-1], 0)
-        t0, t1 = _chunk_cvs(words[-1:, :nb_tail], nb_tail, tail_lens,
+        f0, f1 = _bulk_cvs_bytes(buf, n_chunks - 1, 0)
+        tail_words = _bytes_to_words(buf[(n_chunks - 1) * 1024 :]).reshape(
+            1, 16, 16, R
+        )
+        t0, t1 = _chunk_cvs(tail_words[:, :nb_tail], nb_tail, tail_lens,
                             np.array([n_chunks - 1]))
         r0 = jnp.concatenate([f0, t0], axis=1)
         r1 = jnp.concatenate([f1, t1], axis=1)
@@ -377,8 +390,7 @@ def absorb_columns(cvs0, cvs1, rem, chunk_base, new, rem_len: int,
     buf = jnp.concatenate([rem[:rem_len], new], axis=0) if rem_len else new
     consumed = n_absorb * 1024
     if n_absorb:
-        words = _bytes_to_words(buf[:consumed]).reshape(n_absorb, 16, 16, R)
-        c0, c1 = _bulk_cvs(words, chunk_base)
+        c0, c1 = _bulk_cvs_bytes(buf, n_absorb, chunk_base)
         cvs0 = jax.lax.dynamic_update_slice(cvs0, c0, (0, chunk_base, 0))
         cvs1 = jax.lax.dynamic_update_slice(cvs1, c1, (0, chunk_base, 0))
     tail = buf[consumed:]

@@ -59,8 +59,10 @@ def mesh_is_multiprocess(mesh) -> bool:
 
 def global_mesh(axis: str = REP_AXIS):
     """A 1-D mesh over every device of every process (rep-axis sharding of a
-    single proof).  The repetition counts (256 total / 40 online / 216
-    preprocessing) must divide by the global device count."""
+    single proof).  total_reps (256) must divide by the global device count;
+    the verifier's 40/216-rep re-executions pad to the mesh multiple
+    (TpuKKW._rep_pad), so a single proof scales to any power-of-two mesh up
+    to 256 devices."""
     import jax
     from jax.sharding import Mesh
 
@@ -84,7 +86,7 @@ def batch_slices(n: int) -> List[np.ndarray]:
 
 
 def _allgather_rows(mat: np.ndarray) -> np.ndarray:
-    """All-gather equal-shape uint8 row blocks from every process ->
+    """All-gather equal-shape row blocks from every process ->
     (num_processes * rows, cols), in process order."""
     from jax.experimental import multihost_utils as mhu
 
@@ -98,7 +100,11 @@ def allgather_blobs(blobs: Sequence[bytes], max_rows: int) -> List[List[bytes]]:
     import jax
 
     nproc = jax.process_count()
-    lens = np.zeros(max_rows, np.int64)
+    # int32 explicitly: x64 is disabled, so an int64 matrix would silently
+    # downcast inside process_allgather -- make the wire dtype the real one
+    # and assert the blobs fit (2 GiB per blob is far beyond any proof)
+    assert all(len(b) <= np.iinfo(np.int32).max for b in blobs)
+    lens = np.zeros(max_rows, np.int32)
     lens[: len(blobs)] = [len(b) for b in blobs]
     all_lens = _allgather_rows(lens.reshape(max_rows, 1)).reshape(nproc, max_rows)
     maxlen = max(1, int(all_lens.max()))
@@ -127,6 +133,8 @@ def prove_batch_distributed(kkw, witnesses, seeds: np.ndarray,
     from ..proof.container import Proof
 
     n = len(witnesses)
+    if n == 0:
+        return []
     seeds = np.ascontiguousarray(seeds, dtype=np.uint8).reshape(n, -1, 16)
     slices = batch_slices(n)
     mine = slices[jax.process_index()]

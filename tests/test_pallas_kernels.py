@@ -29,12 +29,15 @@ def _keys(R: int) -> np.ndarray:
     [
         pytest.param(16, 32, marks=pytest.mark.slow),
         pytest.param(24, 32, marks=pytest.mark.slow),
+        (16, 64),   # Kw=16 -> bpr=8 (padded verifier online count, R=40->64)
+        (16, 128),  # Kw=32 -> bpr=4 (padded preprocessing count via 128-lane)
         (32, 256),
     ],
 )
 def test_pallas_tape_matches_host_golden(n_blocks, R):
-    # R=32 -> Kw=8 (bpr=16 lane packing); R=256 -> Kw=64 (bpr=2, the
-    # single-proof headline shape)
+    # R=32 -> Kw=8 (bpr=16 lane packing); R=64/128 -> bpr=8/4 (the lane
+    # configs pallas_rep_pad routes verifier rep counts onto); R=256 ->
+    # Kw=64 (bpr=2, the single-proof headline shape)
     pk = _keys(R)
     rkp = aj.round_key_planes(pk.reshape(-1, 16))
     mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
@@ -43,6 +46,34 @@ def test_pallas_tape_matches_host_golden(n_blocks, R):
     tape = np.asarray(
         aes_ctr_tape_gf2_pallas(rkp, n_blocks, mask, tile_b=16, interpret=True)
     )[:m2]
+    np.testing.assert_array_equal(tape, golden)
+
+
+def test_pallas_tape_rep_padding_contract():
+    """The verifier rep-count path (tpu_host._gf2_tape): keys zero-padded to
+    pallas_rep_pad(R) lanes, kernel run at the padded count, tape sliced back
+    to R columns -- must equal the host golden at the UNpadded R (R=40 is the
+    online-verify count, padding to 64 -> bpr=8 de-interleave)."""
+    from reverie_tpu.crypto.kernels.aes_pallas import pallas_rep_pad
+
+    R = 40
+    R_pad = pallas_rep_pad(R)
+    assert R_pad == 64
+    pk = _keys(R)
+    keys = pk.reshape(-1, 16)
+    keys_p = np.concatenate(
+        [keys, np.zeros(((R_pad - R) * 8, 16), np.uint8)]
+    )
+    rkp = aj.round_key_planes(keys_p)
+    mask = np.concatenate(
+        [np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32),
+         np.zeros((R_pad - R) * 8 // 32, np.uint32)]
+    )
+    m2 = 16 * 128
+    golden, _, _ = build_tapes(pk, None, m2, 0)  # (m2, R)
+    tape = np.asarray(
+        aes_ctr_tape_gf2_pallas(rkp, 16, mask, tile_b=16, interpret=True)
+    )[:m2, :R]
     np.testing.assert_array_equal(tape, golden)
 
 
@@ -124,23 +155,34 @@ def test_z64_chunked_tape_matches_unchunked():
     np.testing.assert_array_equal(np.asarray(hi_c)[:mz], ghi)
 
 
-def test_pallas_blake3_chunk_cvs_match_xla():
-    """chunk_cvs_pallas (register-resident compress, interpret mode) must
-    match the XLA row-tensor chunk CVs for bulk full chunks, including a
-    nonzero global counter base (streaming absorb)."""
+@pytest.mark.parametrize(
+    "n,R,base,transpose",
+    [
+        (8, 128, 0, True),          # exact tile
+        (5, 128, 3, True),          # boundary block (n % tile_c != 0)
+        (5, 128, 3, False),         # no-corner-turn kernel variant
+        (9, 256, 123456, True),     # multi-lane-tile grid + big counter base
+        pytest.param(3, 40, 1, True, marks=pytest.mark.slow),  # lane-padded R
+    ],
+)
+def test_pallas_blake3_from_bytes_matches_xla(n, R, base, transpose):
+    """chunk_cvs_from_bytes (sublane-bitcast word load + register-resident
+    compress, interpret mode) must match the XLA indexed-scan chunk CVs,
+    including a nonzero global counter base (streaming absorb), boundary
+    blocks, and lane-padded rep counts."""
     import jax.numpy as jnp
 
     from reverie_tpu.crypto.kernels import blake3_jax as bj
-    from reverie_tpu.crypto.kernels.blake3_pallas import chunk_cvs_pallas
+    from reverie_tpu.crypto.kernels.blake3_pallas import chunk_cvs_from_bytes
 
     rng = np.random.RandomState(3)
-    for n, base in [(1, 0), (5, 0), (13, 7), (16, 123456)]:
-        words = jnp.asarray(
-            rng.randint(0, 1 << 32, size=(n, 16, 16, 8), dtype=np.uint64
-                        ).astype(np.uint32)
-        )
-        ctr = np.arange(base, base + n, dtype=np.uint32)
-        x0, x1 = bj._chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr)
-        p0, p1 = chunk_cvs_pallas(words, base, tile_c=4, interpret=True)
-        np.testing.assert_array_equal(np.asarray(p0), np.asarray(x0))
-        np.testing.assert_array_equal(np.asarray(p1), np.asarray(x1))
+    buf = rng.randint(0, 256, size=(n * 1024 + 37, R), dtype=np.uint8)
+    words = bj._bytes_to_words(jnp.asarray(buf[: n * 1024])).reshape(
+        n, 16, 16, R
+    )
+    x0, x1 = bj._chunk_cvs_indexed(words, base)
+    p0, p1 = chunk_cvs_from_bytes(
+        jnp.asarray(buf), n, base, transpose=transpose, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(x0))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(x1))
