@@ -97,9 +97,13 @@ def _check_device(timeout_s: float = 180.0) -> None:
 def _sha256_batch_bench() -> dict:
     """Secondary metrics: the deep-circuit flagship (SHA-256 preimage,
     depth ~5200 -> scan executor) as single-proof latency and sustained
-    chunked-batch throughput (config 5 shape).  These are device-bound on
-    this rig (the 1M headline is tunnel-bound), so they track kernel work.
-    Skippable via BENCH_SHA256=0; errors degrade to an error field."""
+    chunked-batch throughput at the real config-5 shape (N=512 default,
+    chunk=64 -- matching the tools/r3_hw1.py methodology so the driver
+    artifact records the actual sustained capability, not a short-batch
+    rampup-dominated figure).  These are device-bound on this rig (the 1M
+    headline is tunnel-bound), so they track kernel work.  Skippable via
+    BENCH_SHA256=0; N override via BENCH_SHA256_N; errors degrade to an
+    error field."""
     if os.environ.get("BENCH_SHA256", "1") == "0":
         return {}
     try:
@@ -127,11 +131,13 @@ def _sha256_batch_bench() -> dict:
             proof = sys_.prove(wit, [], seeds=seeds1)
             dt1 = min(dt1, time.time() - t0)
         ok1 = sys_.verify(proof)
-        n, chunk = 128, 64
+        n = int(os.environ.get("BENCH_SHA256_N", 512))
+        chunk = 64
         seeds = rng.randint(0, 256, size=(n, 256, 16), dtype=np.uint8)
         wits = [(wit, [])] * n
+        # one warm chunk compiles the batch executors; then the timed run
         t0 = time.time()
-        proofs = sys_.prove_batch_chunked(wits, seeds=seeds, chunk=chunk)
+        sys_.prove_batch_chunked(wits[:chunk], seeds=seeds[:chunk], chunk=chunk)
         warm = time.time() - t0
         t0 = time.time()
         proofs = sys_.prove_batch_chunked(wits, seeds=seeds, chunk=chunk)
@@ -148,6 +154,89 @@ def _sha256_batch_bench() -> dict:
     except Exception as e:  # noqa: BLE001 -- secondary metric must not kill the bench
         log(f"  sha256 bench failed: {e!r}")
         return {"sha256_error": str(e)[:160]}
+
+
+def _device_limited_bench(sys_, wit2) -> dict:
+    """THE chip metric: host-pull-fenced per-phase device time for the 1M
+    prove (method of tools/r3_prof.py; REVERIE_PROFILE's block_until_ready
+    does not reliably block on the axon relay).  Sums tape + execute + hash
+    + extract_dev -- everything the chip does, excluding the rig's ~30 MB/s
+    tunnel pulls -- and reports N/total as device_limited_gates_per_sec.
+    This is the number the >=10x north star is judged on for
+    directly-attached hardware (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reverie_tpu.backend.tpu_host import PROVER, expand_seeds
+    from reverie_tpu.proof.challenge import challenge_to_opening
+    from reverie_tpu.crypto.hashing import blake3
+    from reverie_tpu.params import DEFAULT_PARAMS
+
+    R = DEFAULT_PARAMS.total_reps
+    cc = sys_.cc
+
+    def fence(x):
+        return float(np.asarray(x).reshape(-1)[0])
+
+    small = jax.jit(lambda s: (s + 1))(jnp.uint32(3))
+    fence(small)
+    lats = []
+    for _ in range(5):
+        t0 = time.time()
+        fence(small)
+        lats.append(time.time() - t0)
+    pull = min(lats)
+    rng = np.random.default_rng(11)
+    bc = jax.jit(lambda w, r: jnp.repeat(w, r, axis=1), static_argnums=(1,))
+    w2 = np.asarray([1 if b else 0 for b in wit2], np.uint8)
+    best: dict = {}
+    for it in range(3):
+        seeds = rng.integers(0, 256, (R, 16), dtype=np.uint8)
+        player_keys = expand_seeds(seeds).reshape(R, 8, 16)
+        t = {}
+        t0 = time.time()
+        tape2 = sys_._gf2_tape(player_keys, None)
+        fence(tape2[:1, :1])
+        t["tape"] = time.time() - t0 - pull
+        inp = dict(
+            tape2=tape2,
+            tapez_lo=np.zeros((0, 8, R), np.uint32),
+            tapez_hi=np.zeros((0, 8, R), np.uint32),
+            wit2=bc(w2[: cc.n_wit2, None], R),
+            witz_lo=bc(np.zeros(0, np.uint32)[:, None], R),
+            witz_hi=bc(np.zeros(0, np.uint32)[:, None], R),
+        )
+        t0 = time.time()
+        out = sys_._executor(PROVER, R)(inp)
+        fence(out["onl2"][:1, :1])
+        t["execute"] = time.time() - t0 - pull
+        t0 = time.time()
+        rep_h, ho2, hoz = sys_._hash_fn(False)(
+            out["onl2"], out["pre2"], out["onlz"], out["prez"]
+        )
+        fence(rep_h[:1, :1])
+        t["hash"] = time.time() - t0 - pull
+        buf = np.asarray(sys_._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
+        comm = blake3(buf[: R * 32].tobytes())
+        omit = np.full(R, 8, dtype=np.int64)
+        for rep, p in challenge_to_opening(comm, DEFAULT_PARAMS).items():
+            omit[rep] = p
+        cols = np.nonzero(omit < 8)[0]
+        t0 = time.time()
+        g2buf = sys_._extract_gf2_dispatch(out, cols, omit[cols])
+        fence(g2buf[:1])
+        t["extract_dev"] = time.time() - t0 - pull
+        tot = sum(t.values())
+        log("  devlim #%d: %s  total=%.1fms" % (
+            it, " ".join(f"{k}={v*1e3:.1f}ms" for k, v in t.items()),
+            tot * 1e3))
+        if not best or tot < sum(best.values()):
+            best = t
+    total = sum(best.values())
+    return {
+        "device_limited_gates_per_sec": round(N_GATES / total),
+        "device_phase_ms": {k: round(v * 1e3, 1) for k, v in best.items()},
+    }
 
 
 def main() -> None:
@@ -237,6 +326,12 @@ def main() -> None:
         "verify_ok": bool(ok),
         "verify_s": round(dt_verify, 3),
     }
+    if os.environ.get("BENCH_DEVLIM", "1") != "0":
+        try:
+            result.update(_device_limited_bench(sys_, wit2))
+        except Exception as e:  # noqa: BLE001 -- secondary metric
+            log(f"  device-limited bench failed: {e!r}")
+            result["device_limited_error"] = str(e)[:160]
     result.update(_sha256_batch_bench())
     if ok:
         _write_last_measured(result)

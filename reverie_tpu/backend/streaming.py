@@ -74,11 +74,12 @@ def _tape2_window_host(player_keys: np.ndarray, tape0: int, m2s: int) -> np.ndar
 
 def _tapez_window_host(player_keys: np.ndarray, tapez0: int, mzs: int,
                        omit: Optional[np.ndarray] = None):
-    """(mzs, R, 8) u32-pair z64 tape rows [tapez0, tapez0+mzs) via host AES.
-    Layout identical to tpu_host.build_tapes (1 KiB per 128-word refill)."""
+    """(mzs, 8, R) u32-pair z64 tape rows [tapez0, tapez0+mzs) via host AES.
+    Layout identical to tpu_host.build_tapes (1 KiB per 128-word refill;
+    player-major)."""
     R = player_keys.shape[0]
     if mzs == 0:
-        z = np.zeros((0, R, 8), np.uint32)
+        z = np.zeros((0, 8, R), np.uint32)
         return z, z
     flat = player_keys.reshape(R * 8, KEY_SIZE)
     b0 = tapez0 // BATCH
@@ -91,7 +92,7 @@ def _tapez_window_host(player_keys: np.ndarray, tapez0: int, mzs: int,
         ks[idx, omit[idx].astype(np.int64)] = 0
     words = np.ascontiguousarray(ks).view("<u8")  # (R, 8, (b1-b0)*128)
     off = tapez0 - b0 * BATCH
-    words = np.transpose(words[:, :, off : off + mzs], (2, 0, 1))
+    words = np.transpose(words[:, :, off : off + mzs], (2, 1, 0))  # (mzs,8,R)
     return up.from_u64(words)
 
 
@@ -284,7 +285,7 @@ class StreamingKKW:
 
     def _tapez_window(self, s: int, player_keys,
                       omit: Optional[np.ndarray] = None):
-        """Device/host (mzs, R, 8) u32-pair z64 tape rows for segment s."""
+        """Device/host (mzs, 8, R) u32-pair z64 tape rows for segment s."""
         import jax
 
         seg = self.segments[s]
@@ -316,9 +317,10 @@ class StreamingKKW:
         if omit is None:
             maskz = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
-            maskz = aj.lane_mask_raw(omit, R)
+            maskz = aj.lane_mask_raw_pm(omit, R)
         lo, hi = self._bitx["aesz"](
-            jnp.asarray(player_keys.reshape(-1, KEY_SIZE)), B,
+            jnp.asarray(np.ascontiguousarray(
+                player_keys.transpose(1, 0, 2)).reshape(-1, KEY_SIZE)), B,
             np.int32(b0 * (Z64_BATCH_BYTES // 16)), jnp.asarray(maskz)
         )
         off = seg.tapez0 - b0 * BATCH
@@ -382,8 +384,8 @@ class StreamingKKW:
                     s, player_keysz, omit=omitz
                 )
             else:
-                inp["tapez_lo"] = np.zeros((0, R, 8), np.uint32)
-                inp["tapez_hi"] = np.zeros((0, R, 8), np.uint32)
+                inp["tapez_lo"] = np.zeros((0, 8, R), np.uint32)
+                inp["tapez_hi"] = np.zeros((0, 8, R), np.uint32)
             if mode == PROVER:
                 inp["wit2"] = np.ascontiguousarray(
                     np.broadcast_to(
@@ -658,9 +660,9 @@ class StreamingKKW:
             coz_lo, coz_hi = up.from_u64(coz)
             inz_lo, inz_hi = up.from_u64(inz)
             rezv_lo, rezv_hi = up.from_u64(rezv)
-            onehot = (np.arange(8)[None, :] == omitz[:, None]).astype(np.uint32)
-            rez_lo = rezv_lo[:, :, None] * onehot[None, :, :]
-            rez_hi = rezv_hi[:, :, None] * onehot[None, :, :]
+            onehot = (np.arange(8)[:, None] == omitz[None, :]).astype(np.uint32)
+            rez_lo = rezv_lo[:, None, :] * onehot[None, :, :]  # (n, 8, R)
+            rez_hi = rezv_hi[:, None, :] * onehot[None, :, :]
 
         rkp = mask = None
         import jax

@@ -8,7 +8,9 @@ backend executes every gate as a vector op over ALL repetitions at once:
                     (bit 7-p = player p, matching the reference byte layout)
   gf2 corr arena  : (V, R) uint8 -- 0/1 per rep (LSB form; expanded to
                     0x00/0xFF only at transcript-byte emission)
-  z64 mask arena  : (V, R, 8) uint32 pairs (lo, hi) -- player u64 shares
+  z64 mask arena  : (V, 8, R) uint32 pairs (lo, hi) -- player-major u64
+                    shares (reps on vector lanes; the 8-wide player axis
+                    never touches the lane dim)
   z64 corr arena  : (V, R) uint32 pairs
 
 R = total repetitions (256).  The transcript is materialized as byte tensors
@@ -84,26 +86,28 @@ def _scat(buf, rows, vals):
 
 
 def _recon_sum(lo, hi):
-    """Sum u64 pairs over the trailing player axis: (k, R, 8) -> (k, R)."""
-    alo, ahi = lo[..., 0], hi[..., 0]
-    for p in range(1, lo.shape[-1]):
-        alo, ahi = up.add64(alo, ahi, lo[..., p], hi[..., p])
+    """Sum u64 pairs over the player axis: (k, 8, R) -> (k, R)."""
+    alo, ahi = lo[..., 0, :], hi[..., 0, :]
+    for p in range(1, lo.shape[-2]):
+        alo, ahi = up.add64(alo, ahi, lo[..., p, :], hi[..., p, :])
     return alo, ahi
 
 
 def carry_arena(n_vals: int, R: int, carried=None, tail=(), dtype=U8,
-                extra_rows: int = 0):
+                extra_rows: int = 0, lead=()):
     """Value arena with the streaming-segment carry contract: row 0 is the
     constant-zero value, rows 1..k hold the carried-in rows (in order), the
     rest are zeros; `extra_rows` appends trash rows (the scan executor's
-    uniform-scatter targets).  SINGLE source of truth for the row layout --
-    both executors build their arenas through this helper so segment streams
-    stay byte-identical between them."""
+    uniform-scatter targets).  `lead` inserts axes between the value-row axis
+    and R (the z64 arenas are (V, 8 players, R)).  SINGLE source of truth
+    for the row layout -- both executors build their arenas through this
+    helper so segment streams stay byte-identical between them."""
+    shape_t = lead + (R,) + tail
     if carried is None or carried.shape[0] == 0:
-        return jnp.zeros((n_vals + extra_rows, R) + tail, dtype)
+        return jnp.zeros((n_vals + extra_rows,) + shape_t, dtype)
     k = carried.shape[0]
-    z1 = jnp.zeros((1, R) + tail, dtype)
-    zrest = jnp.zeros((n_vals - 1 - k + extra_rows, R) + tail, dtype)
+    z1 = jnp.zeros((1,) + shape_t, dtype)
+    zrest = jnp.zeros((n_vals - 1 - k + extra_rows,) + shape_t, dtype)
     return jnp.concatenate([z1, carried, zrest], axis=0)
 
 
@@ -242,8 +246,10 @@ class Executor:
         mask2_init = carry_arena(cc.n_vals2, R, c2.get("carry_mask2"))
         corr2_init = carry_arena(cc.n_vals2, R, c2.get("carry_corr2"))
         cz = inp if self.carry_inz else {}
-        mzlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzlo"), (8,), U32)
-        mzhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzhi"), (8,), U32)
+        mzlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzlo"), (), U32,
+                                lead=(8,))
+        mzhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzhi"), (), U32,
+                                lead=(8,))
         czlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_czlo"), (), U32)
         czhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_czhi"), (), U32)
         st = dict(
@@ -435,7 +441,7 @@ class Executor:
             alo, ahi = gm("a")
             aclo, achi = gc("a")
             klo, khi = const_pair()
-            lo, hi = up.mul64(alo, ahi, klo[..., None], khi[..., None])
+            lo, hi = up.mul64(alo, ahi, klo[:, None, :], khi[:, None, :])
             clo, chi = up.mul64(aclo, achi, klo, khi)
             put_mask(lo, hi)
             put_corr(clo, chi)
@@ -456,8 +462,8 @@ class Executor:
                 plo, phi = up.mul64(ralo, rahi, rblo, rbhi)
                 dlo, dhi = up.sub64(plo, phi, rclo, rchi)
             emit_corr_bytes("prez", dlo, dhi)
-            s1lo, s1hi = up.mul64(blo, bhi, aclo[..., None], achi[..., None])
-            s2lo, s2hi = up.mul64(alo, ahi, bclo[..., None], bchi[..., None])
+            s1lo, s1hi = up.mul64(blo, bhi, aclo[:, None, :], achi[:, None, :])
+            s2lo, s2hi = up.mul64(alo, ahi, bclo[:, None, :], bchi[:, None, :])
             slo, shi = up.add64(s1lo, s1hi, s2lo, s2hi)
             slo, shi = up.add64(slo, shi, tablo, tabhi)
             slo, shi = up.sub64(slo, shi, tnlo, tnhi)
@@ -466,8 +472,11 @@ class Executor:
                     slo, shi, A.take(inp["rez_lo"], "rec"), A.take(inp["rez_hi"], "rec")
                 )
             if mode != VERIFY_PRE:
-                by = jnp.stack(up.le_bytes(slo, shi), axis=-1)  # (k, R, 8p, 8b)
-                by = jnp.moveaxis(by, 1, -1)  # (k, 8p, 8b, R)
+                # player-major masks: the 64-byte share event (8 players x
+                # 8 LE bytes) is a stack + free reshape -- no transpose
+                # (was a (k, R, 8, 8) -> (k, 8, 8, R) moveaxis per level,
+                # the measured z64 execute bottleneck, BASELINE round 3)
+                by = jnp.stack(up.le_bytes(slo, shi), axis=2)  # (k, 8p, 8b, R)
                 st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
                 srlo, srhi = _recon_sum(slo, shi)
                 relo, rehi = up.add64(srlo, srhi, dlo, dhi)
@@ -487,8 +496,7 @@ class Executor:
                 slo, shi = up.add64(
                     slo, shi, A.take(inp["rez_lo"], "rec"), A.take(inp["rez_hi"], "rec")
                 )
-            by = jnp.stack(up.le_bytes(slo, shi), axis=-1)
-            by = jnp.moveaxis(by, 1, -1)
+            by = jnp.stack(up.le_bytes(slo, shi), axis=2)  # (k, 8p, 8b, R)
             st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
             rlo, rhi = _recon_sum(slo, shi)
             vlo, vhi = up.add64(rlo, rhi, aclo, achi)

@@ -34,7 +34,8 @@ BATCH = 128
 def build_tapes(player_keys: np.ndarray, omit: Optional[np.ndarray], m2: int, mz: int):
     """player_keys: (R, 8, 16) uint8; omit: (R,) int or None.
 
-    Returns tape2 (m2, R) uint8 player-bit bytes, tapez_lo/hi (mz, R, 8) u32.
+    Returns tape2 (m2, R) uint8 player-bit bytes, tapez_lo/hi (mz, 8, R) u32
+    (player-major: reps on the minor axis so they land on vector lanes).
     """
     R = player_keys.shape[0]
     flat = player_keys.reshape(R * 8, KEY_SIZE)
@@ -58,11 +59,11 @@ def build_tapes(player_keys: np.ndarray, omit: Optional[np.ndarray], m2: int, mz
             idx = np.nonzero(omit < 8)[0]
             ks[idx, omit[idx].astype(np.int64)] = 0
         words = np.ascontiguousarray(ks).view("<u8")[:, :, :mz]  # (R, 8, mz)
-        words = np.transpose(words, (2, 0, 1))  # (mz, R, 8)
+        words = np.transpose(words, (2, 1, 0))  # (mz, 8, R)
         lo, hi = up.from_u64(words)
     else:
-        lo = np.zeros((0, R, 8), dtype=np.uint32)
-        hi = np.zeros((0, R, 8), dtype=np.uint32)
+        lo = np.zeros((0, 8, R), dtype=np.uint32)
+        hi = np.zeros((0, 8, R), dtype=np.uint32)
     return tape2, lo, hi
 
 
@@ -424,11 +425,11 @@ def make_online_unpacker(cc: CompiledCircuit, mesh=None):
         in2 = unpack_bits(in2p, cc.n_inputs2)
         re2 = unpack_bits(re2p, cc.n_recons2) << (jnp.uint8(7) - omit_u8)[None, :]
         R = omitz_i32.shape[0]
-        onehot = (jnp.arange(8, dtype=jnp.int32)[None, :] == omitz_i32[:, None]).astype(
+        onehot = (jnp.arange(8, dtype=jnp.int32)[:, None] == omitz_i32[None, :]).astype(
             jnp.uint32
-        )  # (R, 8)
-        rez_lo = rezv_lo[:, :, None] * onehot[None, :, :]
-        rez_hi = rezv_hi[:, :, None] * onehot[None, :, :]
+        )  # (8, R) player-major
+        rez_lo = rezv_lo[:, None, :] * onehot[None, :, :]
+        rez_hi = rezv_hi[:, None, :] * onehot[None, :, :]
         return dict(co2=co2, in2=in2, re2=re2, rez_lo=rez_lo, rez_hi=rez_hi)
 
     if mesh is not None:
@@ -439,8 +440,8 @@ def make_online_unpacker(cc: CompiledCircuit, mesh=None):
             co2=NamedSharding(mesh, P(None, rep)),
             in2=NamedSharding(mesh, P(None, rep)),
             re2=NamedSharding(mesh, P(None, rep)),
-            rez_lo=NamedSharding(mesh, P(None, rep, None)),
-            rez_hi=NamedSharding(mesh, P(None, rep, None)),
+            rez_lo=NamedSharding(mesh, P(None, None, rep)),
+            rez_hi=NamedSharding(mesh, P(None, None, rep)),
         )
         return jax.jit(fn, out_shardings=out_sh)
     return jax.jit(fn)
@@ -519,26 +520,36 @@ class TpuKKW:
         import os as _os
 
         nblocks_est = ((cc.m2 + BATCH - 1) // BATCH) * GF2_BATCH_BYTES // 16
+        # REVERIE_PALLAS_INTERPRET=1 runs the Pallas kernel in interpret mode
+        # on non-TPU backends (multi-process gloo CPU tests exercise the
+        # shard_map route byte-exactly without hardware)
+        interp = bool(_os.environ.get("REVERIE_PALLAS_INTERPRET")) and (
+            jax.default_backend() != "tpu"
+        )
         use_pallas = (
-            jax.default_backend() == "tpu"
+            (jax.default_backend() == "tpu" or interp)
             and not _os.environ.get("REVERIE_NO_PALLAS")
             # hardware-validated: byte-exact vs the XLA kernel at B=15626
             # (1M-gate tape) and at batch lane counts (R=2048, kwt=128 grid);
             # the round-1 fusion miscompile was in the *XLA post-processing*,
             # now fused in-kernel (tools/r2_tune.py parts B/C/E)
             and nblocks_est <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
-            # GSPMD cannot auto-partition a pallas_call across processes;
-            # multi-process meshes take the XLA kernel (shard_map: round 4)
-            and not self._multiproc
         )
         # verifier rep counts (R=40 online / R=216 preprocessing) reach the
         # kernel by zero-key padding to a full-lane-utilization count and
-        # slicing the tape columns back (round-3 item; was an XLA fallback)
+        # slicing the tape columns back (round-3 item; was an XLA fallback).
+        # On a process-spanning mesh the pad must also make each process's
+        # repetition slice a full-lane-utilization count (shard_map splits
+        # the key/lane axes evenly).
         R_pad = R
         if use_pallas:
             from ..crypto.kernels.aes_pallas import pallas_rep_pad
 
-            R_pad = pallas_rep_pad(R)
+            if self._multiproc:
+                D = self.mesh.size
+                R_pad = D * pallas_rep_pad(-(-R // D))
+            else:
+                R_pad = pallas_rep_pad(R)
         # cache key includes the kernel choice: prove() (R=256) and
         # prove_batch() (R=N*256) may pick different kernels with different
         # call conventions on one TpuKKW instance.  Both paths upload only
@@ -547,12 +558,49 @@ class TpuKKW:
         # than the keys and its transfer dominated prove_batch's tape phase.
         fn_key = ("aes", use_pallas)
         if fn_key not in self._hash_fns:
-            if use_pallas:
+            if use_pallas and self._multiproc:
+                # GSPMD cannot auto-partition a pallas_call across processes:
+                # shard_map over the repetition axis runs the kernel
+                # per-device on its key slice (keys are rep-major rows, the
+                # tape's lane axis is the same rep order, so out_specs
+                # shards the columns; reference AES-NI is unconditional,
+                # .cargo/config.toml:1-2 -- this closes the multi-host
+                # slow-tape gap, round-3 Missing #2)
+                from jax.sharding import PartitionSpec as _P
+
+                from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
+
+                try:
+                    from jax import shard_map as _smap
+                except ImportError:
+                    from jax.experimental.shard_map import shard_map as _smap
+
+                mesh = self.mesh
+                rep = self._rep_axis_name()
+
+                def fn(keys, nb, mask):
+                    def shard_fn(k, m):
+                        return aes_ctr_tape_gf2_pallas(
+                            aj.round_key_planes_device(k), nb, m,
+                            interpret=interp,
+                        )
+
+                    # check_vma=False: pallas_call out_shapes carry no vma
+                    # annotation (per-shard outputs are trivially varying
+                    # over the rep axis)
+                    return _smap(
+                        shard_fn, mesh=mesh,
+                        in_specs=(_P(rep), _P(rep)),
+                        out_specs=_P(None, rep),
+                        check_vma=False,
+                    )(keys, mask)
+            elif use_pallas:
                 from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
 
                 def fn(keys, nb, mask):
                     return aes_ctr_tape_gf2_pallas(
-                        aj.round_key_planes_device(keys), nb, mask
+                        aj.round_key_planes_device(keys), nb, mask,
+                        interpret=interp,
                     )
             else:
                 def fn(keys, nb, mask):
@@ -589,7 +637,7 @@ class TpuKKW:
         cc = self.cc
         R = player_keys.shape[0]
         if cc.mz == 0:
-            z = np.zeros((0, R, 8), np.uint32)
+            z = np.zeros((0, 8, R), np.uint32)
             return z, z
         if cc.mz < 512 or (R * 8) % 32 != 0:
             _, lo, hi = build_tapes(player_keys, omit, 0, cc.mz)
@@ -610,7 +658,7 @@ class TpuKKW:
             if self._multiproc:
                 rep = self._rep_axis_name()
                 kw["out_shardings"] = (
-                    self._sh(None, rep, None), self._sh(None, rep, None)
+                    self._sh(None, None, rep), self._sh(None, None, rep)
                 )
             self._hash_fns["aesz"] = jax.jit(zfn, static_argnums=(1,), **kw)
         nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
@@ -618,8 +666,14 @@ class TpuKKW:
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
         else:
-            mask = aj.lane_mask_raw(omit, R)
-        keys = jnp.asarray(player_keys.reshape(-1, KEY_SIZE))
+            mask = aj.lane_mask_raw_pm(omit, R)
+        # player-major key order (key p*R + r): the kernel's (mz, 8, R)
+        # output reshape is then free (see aes_jax.aes_ctr_tape_z64)
+        keys = jnp.asarray(
+            np.ascontiguousarray(
+                player_keys.transpose(1, 0, 2)
+            ).reshape(-1, KEY_SIZE)
+        )
         return self._hash_fns["aesz"](keys, B, jnp.asarray(mask))
 
     def _hash_fn(self, with_comm: bool):
@@ -1277,8 +1331,8 @@ class TpuKKW:
                 oz = np.asarray(omitz)
                 cols = np.nonzero(oz < 8)[0]
                 if cols.size and tz_lo.shape[0]:
-                    sel_lo = jnp.asarray(tz_lo)[:, cols, oz[cols]]
-                    sel_hi = jnp.asarray(tz_hi)[:, cols, oz[cols]]
+                    sel_lo = jnp.asarray(tz_lo)[:, oz[cols], cols]
+                    sel_hi = jnp.asarray(tz_hi)[:, oz[cols], cols]
                     if int(jnp.any(sel_lo)) or int(jnp.any(sel_hi)):
                         raise AssertionError(
                             "REVERIE_DEBUG: z64 tape is nonzero at the "

@@ -401,8 +401,10 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
     if has_z or cfg.carry_inz or cfg.carry_outz:
         Vz = cfg.n_valsz
         cz = inp if cfg.carry_inz else {}
-        mzlo = carry_arena(Vz, R, cz.get("carry_mzlo"), (8,), U32, extra_rows=1)
-        mzhi = carry_arena(Vz, R, cz.get("carry_mzhi"), (8,), U32, extra_rows=1)
+        mzlo = carry_arena(Vz, R, cz.get("carry_mzlo"), (), U32, extra_rows=1,
+                           lead=(8,))
+        mzhi = carry_arena(Vz, R, cz.get("carry_mzhi"), (), U32, extra_rows=1,
+                           lead=(8,))
         czlo = carry_arena(Vz, R, cz.get("carry_czlo"), (), U32, extra_rows=1)
         czhi = carry_arena(Vz, R, cz.get("carry_czhi"), (), U32, extra_rows=1)
         onlz = jnp.zeros((cfg.onlz + 1, R), U8)
@@ -414,16 +416,16 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
                 return jnp.zeros(shape, dtype)
             return v
 
-        tz_lo = zpad("tapez_lo", (1, R, 8))
-        tz_hi = zpad("tapez_hi", (1, R, 8))
+        tz_lo = zpad("tapez_lo", (1, 8, R))
+        tz_hi = zpad("tapez_hi", (1, 8, R))
         wz_lo = zpad("witz_lo", (1, R))
         wz_hi = zpad("witz_hi", (1, R))
         inz_lo = zpad("inz_lo", (1, R))
         inz_hi = zpad("inz_hi", (1, R))
         coz_lo = zpad("coz_lo", (1, R))
         coz_hi = zpad("coz_hi", (1, R))
-        rez_lo = zpad("rez_lo", (1, R, 8))
-        rez_hi = zpad("rez_hi", (1, R, 8))
+        rez_lo = zpad("rez_lo", (1, 8, R))
+        rez_hi = zpad("rez_hi", (1, 8, R))
 
     def z64_slots(zst, w):
         """Compute one wave's Wz z64 slots and select by opcode.  Gate
@@ -436,10 +438,10 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
         zh = cfg.zhas
         zop = w["zop"]
         op2 = zop[:, None]  # (Wz, 1) -> (Wz, R) selects
-        op3 = zop[:, None, None]  # (Wz, R, 8) / (Wz, 64, R) selects
+        op3 = zop[:, None, None]  # (Wz, 8, R) / (Wz, 64, R) selects
         Wz = zop.shape[0]
 
-        am_lo = jnp.take(mzlo, w["za"], axis=0)  # (Wz, R, 8)
+        am_lo = jnp.take(mzlo, w["za"], axis=0)  # (Wz, 8, R)
         am_hi = jnp.take(mzhi, w["za"], axis=0)
         bm_lo = jnp.take(mzlo, w["zb"], axis=0)
         bm_hi = jnp.take(mzhi, w["zb"], axis=0)
@@ -447,14 +449,14 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
         ac_hi = jnp.take(czhi, w["za"], axis=0)
         bc_lo = jnp.take(czlo, w["zb"], axis=0)
         bc_hi = jnp.take(czhi, w["zb"], axis=0)
-        t0_lo = jnp.take(tz_lo, w["zt0"], axis=0)  # (Wz, R, 8)
+        t0_lo = jnp.take(tz_lo, w["zt0"], axis=0)  # (Wz, 8, R)
         t0_hi = jnp.take(tz_hi, w["zt0"], axis=0)
         k_lo = jnp.broadcast_to(w["zclo"][:, None], (Wz, R))
         k_hi = jnp.broadcast_to(w["zchi"][:, None], (Wz, R))
         zero2 = jnp.zeros((Wz, R), U32)
 
         # mask/corr select entries accumulate per present kind
-        m_conds, m_lo, m_hi = [], [], []  # (Wz, R, 8) mask selection
+        m_conds, m_lo, m_hi = [], [], []  # (Wz, 8, R) mask selection
         c_conds, c_lo, c_hi = [], [], []  # (Wz, R) corr selection
 
         if mode == VERIFY_ONL and zh(G_MUL, G_ASSERT):
@@ -515,7 +517,7 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
                 c_lo.append(clo)
                 c_hi.append(chi)
         if zh(G_MULC):
-            lo, hi = up.mul64(am_lo, am_hi, k_lo[..., None], k_hi[..., None])
+            lo, hi = up.mul64(am_lo, am_hi, k_lo[:, None, :], k_hi[:, None, :])
             m_conds.append(op3 == G_MULC)
             m_lo.append(lo)
             m_hi.append(hi)
@@ -545,8 +547,8 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
                 rc_lo, rc_hi = _recon_sum(t0_lo, t0_hi)
                 p_lo, p_hi = up.mul64(ra_lo, ra_hi, rb_lo, rb_hi)
                 d_lo, d_hi = up.sub64(p_lo, p_hi, rc_lo, rc_hi)
-            s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[..., None], ac_hi[..., None])
-            s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[..., None], bc_hi[..., None])
+            s1_lo, s1_hi = up.mul64(bm_lo, bm_hi, ac_lo[:, None, :], ac_hi[:, None, :])
+            s2_lo, s2_hi = up.mul64(am_lo, am_hi, bc_lo[:, None, :], bc_hi[:, None, :])
             s_lo, s_hi = up.add64(s1_lo, s1_hi, s2_lo, s2_hi)
             s_lo, s_hi = up.add64(s_lo, s_hi, t0_lo, t0_hi)
             s_lo, s_hi = up.sub64(s_lo, s_hi, t1_lo, t1_hi)
@@ -662,8 +664,9 @@ def _scan_trace(cfg: _Cfg, inp, xs, couts):
                         se_lo, se_hi = sa_lo, sa_hi
                     else:
                         se_lo, se_hi = s_lo, s_hi
-                    sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=-1)
-                    val64 = jnp.moveaxis(sh64, 1, -1).reshape(Wz, 64, R)
+                    # player-major: (Wz, 8p, 8b, R) stack + free reshape
+                    sh64 = jnp.stack(up.le_bytes(se_lo, se_hi), axis=2)
+                    val64 = sh64.reshape(Wz, 64, R)
                 if zh(G_INPUT):
                     in8 = jnp.stack(up.le_bytes(in_clo, in_chi), axis=1)
                     in64 = jnp.concatenate(

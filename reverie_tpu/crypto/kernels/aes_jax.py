@@ -322,12 +322,17 @@ def _keystream_planes(rkp, ctrp, lane_mask):
 
 
 def aes_ctr_tape_z64(rkp, ctrp, lane_mask):
-    """Z64 mask tape: (mz_total, R, 8) u32 pairs (lo, hi).
+    """Z64 mask tape: (mz_total, 8, R) u32 pairs (lo, hi), player-major.
 
     The z64 tape interprets each (rep, player) keystream as consecutive LE
     u64 words (z64/batch.rs:25-30).  Bitsliced output planes are transposed
     back to per-key bytes (8 shift-accumulate passes), then packed into u32
-    pairs.  `lane_mask` is in raw key order (bit k%32 = key k).
+    pairs.  `lane_mask` is in raw key order (bit k%32 = key k); the CALLER
+    must order keys player-major (key p*R + r = player p of rep r,
+    lane_mask_raw_pm) so the (mz, 8, R) reshape below is free and the
+    repetition axis lands on vector lanes (round-4 layout: the old
+    (mz, R, 8) form put the 8-wide player axis on lanes, wasting 15/16 of
+    every vreg and forcing a moveaxis per share event).
     """
     Kw = rkp.shape[-1]
     B = ctrp.shape[-1]
@@ -349,7 +354,7 @@ def aes_ctr_tape_z64(rkp, ctrp, lane_mask):
     b32 = by.astype(U32)
     lo = b32[:, 0] | (b32[:, 1] << 8) | (b32[:, 2] << 16) | (b32[:, 3] << 24)
     hi = b32[:, 4] | (b32[:, 5] << 8) | (b32[:, 6] << 16) | (b32[:, 7] << 24)
-    return lo.reshape(B * 2, R, 8), hi.reshape(B * 2, R, 8)
+    return lo.reshape(B * 2, 8, R), hi.reshape(B * 2, 8, R)
 
 
 def aes_ctr_tape_z64_chunked(rkp, ctrp, lane_mask, chunk_b: int = 2048):
@@ -377,17 +382,25 @@ def aes_ctr_tape_z64_chunked(rkp, ctrp, lane_mask, chunk_b: int = 2048):
         return None, (lo, hi)
 
     _, (lo, hi) = jax.lax.scan(body, None, chunks)
-    lo = lo.reshape(Bp * 2, R, 8)[: B * 2]
-    hi = hi.reshape(Bp * 2, R, 8)[: B * 2]
+    lo = lo.reshape(Bp * 2, 8, R)[: B * 2]
+    hi = hi.reshape(Bp * 2, 8, R)[: B * 2]
     return lo, hi
 
 
 def lane_mask_raw(omit: np.ndarray, R: int) -> np.ndarray:
-    """(R,) omit -> (R*8//32,) u32 mask in raw key order (for the z64 tape)."""
+    """(R,) omit -> (R*8//32,) u32 mask in raw key order (rep-major keys)."""
     mask = np.full(R * 8, 1, dtype=np.uint8)
     for r in range(R):
         p = int(omit[r])
         if p < 8:
             mask[r * 8 + p] = 0
     packed = np.packbits(mask, bitorder="little")
+    return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)
+
+
+def lane_mask_raw_pm(omit: np.ndarray, R: int) -> np.ndarray:
+    """(R,) omit -> (R*8//32,) u32 mask for PLAYER-MAJOR key order (the z64
+    tape layout: key p*R + r = player p of rep r)."""
+    mask = (np.arange(8)[:, None] != np.asarray(omit)[None, :]).astype(np.uint8)
+    packed = np.packbits(mask.reshape(-1), bitorder="little")
     return np.ascontiguousarray(packed).view("<u4").astype(np.uint32)

@@ -29,8 +29,9 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = REP_AXIS) -> Mesh:
 # Which positional axis of each executor input/output is the repetition axis.
 _REP_AXIS_OF = {
     "tape2": 1,
-    "tapez_lo": 1,
-    "tapez_hi": 1,
+    # z64 tapes/recons are player-major (rows, 8, R): rep axis = 2
+    "tapez_lo": 2,
+    "tapez_hi": 2,
     # witnesses are laid out (n_wit, R): broadcast columns in single prove,
     # per-proof-lane columns in prove_batch -- shard the lane axis either way
     "wit2": 1,
@@ -43,8 +44,8 @@ _REP_AXIS_OF = {
     "inz_hi": 1,
     "coz_lo": 1,
     "coz_hi": 1,
-    "rez_lo": 1,
-    "rez_hi": 1,
+    "rez_lo": 2,
+    "rez_hi": 2,
     # outputs
     "onl2": 1,
     "pre2": 1,

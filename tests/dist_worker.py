@@ -80,6 +80,18 @@ def main() -> None:
         g = TpuKKW(prog).prove(wit2, witz, seeds=seeds_n[i]).to_bytes()
         assert proofs[i].to_bytes() == g, f"batch proof {i} mismatch"
 
+    # 4. shard_map Pallas AES tape on the process-spanning mesh -------------
+    # (interpret mode stands in for the TPU kernel; byte-identity vs the
+    # host-AES golden proves the shard_map key/lane split is exact)
+    prog3, wit3, witz3 = mul_bench_circuit(2100)  # m2 > 4096 -> device tape
+    golden3 = TpuKKW(prog3).prove(wit3, witz3, seeds=seeds).to_bytes()
+    os.environ["REVERIE_PALLAS_INTERPRET"] = "1"
+    try:
+        p3 = TpuKKW(prog3, mesh=gm).prove(wit3, witz3, seeds=seeds)
+        assert p3.to_bytes() == golden3, "shard_map pallas proof mismatch"
+    finally:
+        del os.environ["REVERIE_PALLAS_INTERPRET"]
+
     with open(os.path.join(outdir, f"ok_{pid}"), "w") as f:
         f.write("OK")
     print(f"proc {pid}: all distributed checks OK", flush=True)

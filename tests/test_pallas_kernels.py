@@ -29,8 +29,10 @@ def _keys(R: int) -> np.ndarray:
     [
         pytest.param(16, 32, marks=pytest.mark.slow),
         pytest.param(24, 32, marks=pytest.mark.slow),
-        (16, 64),   # Kw=16 -> bpr=8 (padded verifier online count, R=40->64)
-        (16, 128),  # Kw=32 -> bpr=4 (padded preprocessing count via 128-lane)
+        # Kw=16 -> bpr=8 covered by test_pallas_tape_rep_padding_contract in
+        # the default tier (it additionally checks the zero-key pad contract)
+        pytest.param(16, 64, marks=pytest.mark.slow),
+        (8, 128),   # Kw=32 -> bpr=4 (padded preprocessing count via 128-lane)
         (32, 256),
     ],
 )
@@ -69,10 +71,10 @@ def test_pallas_tape_rep_padding_contract():
         [np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32),
          np.zeros((R_pad - R) * 8 // 32, np.uint32)]
     )
-    m2 = 16 * 128
+    m2 = 8 * 128
     golden, _, _ = build_tapes(pk, None, m2, 0)  # (m2, R)
     tape = np.asarray(
-        aes_ctr_tape_gf2_pallas(rkp, 16, mask, tile_b=16, interpret=True)
+        aes_ctr_tape_gf2_pallas(rkp, 8, mask, tile_b=8, interpret=True)
     )[:m2, :R]
     np.testing.assert_array_equal(tape, golden)
 
@@ -140,7 +142,9 @@ def test_z64_chunked_tape_matches_unchunked():
 
     R = 32
     pk = _keys(R)
-    rkp = jnp.asarray(aj.round_key_planes(pk.reshape(-1, 16)))
+    # player-major key order: the z64 tape contract (aes_ctr_tape_z64)
+    rkp = jnp.asarray(aj.round_key_planes(
+        np.ascontiguousarray(pk.transpose(1, 0, 2)).reshape(-1, 16)))
     mask = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
     mz = 600  # -> B = 320 blocks; chunk_b=64 exercises padding + multi-chunk
     nbytes = ((mz + 127) // 128) * 1024

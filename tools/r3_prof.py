@@ -67,8 +67,8 @@ def main():
         bc = jax.jit(lambda w, r: jnp.repeat(w, r, axis=1), static_argnums=(1,))
         inp = dict(
             tape2=tape2,
-            tapez_lo=np.zeros((0, R, 8), np.uint32),
-            tapez_hi=np.zeros((0, R, 8), np.uint32),
+            tapez_lo=np.zeros((0, 8, R), np.uint32),
+            tapez_hi=np.zeros((0, 8, R), np.uint32),
             wit2=bc(wit2[: cc.n_wit2, None], R),
             witz_lo=bc(np.zeros(0, np.uint32)[:, None], R),
             witz_hi=bc(np.zeros(0, np.uint32)[:, None], R),
