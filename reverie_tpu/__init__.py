@@ -44,17 +44,27 @@ def make_system(program, params=DEFAULT_PARAMS, mesh=None,
     R = params.total_reps
 
     # cheap lower bound (bytes/op/rep) to skip the host compile pass for
-    # circuits that are obviously beyond any budget
+    # circuits that are obviously beyond any budget.  Derived from the same
+    # per-term accounting as device_footprint (NOT guesses): the cheapest op
+    # of each kind contributes at least
+    #   GF2  : one new arena value = mask+corr u8              ->  2 B/rep
+    #   Z64  : one new arena value = (8-player u32-pair mask)
+    #          + u32-pair corr     = 2*8*4 + 2*4               -> 72 B/rep
+    #   B2A  : 64 gf2 randoms (tape row + value, 3 each) + 63 gf2 muls
+    #          (tape 2 + arena 2 + streams 2x2 = 8 each) + ~190 gf2 adds
+    #          (2 each) + z64 value 72 + 64 onl events x2      -> ~1400 B/rep
+    #          (1200 keeps it a strict lower bound)
     from .circuit.ir import Kind
 
+    _Z64_MIN = 2 * 8 * 4 + 2 * 4  # 72
     lower = 0
     for op in program:
         if op.kind == Kind.GF2:
             lower += 2 * R
         elif op.kind == Kind.Z64:
-            lower += 100 * R
+            lower += _Z64_MIN * R
         elif op.kind == Kind.B2A:
-            lower += 300 * R
+            lower += 1200 * R
     if lower > 4 * hbm_budget_bytes:
         from .backend.streaming import StreamingKKW
 

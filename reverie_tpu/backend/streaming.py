@@ -463,10 +463,11 @@ class StreamingKKW:
             mask = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
 
         # ---- pass 1: execute + absorb + discard ---------------------------
-        onl_h = ColumnHasher(self.onl_total, R)
-        pre_h = ColumnHasher(self.pre_total, R)
-        onlz_h = ColumnHasher(self.onlz_total, R)
-        prez_h = ColumnHasher(self.prez_total, R)
+        pok = self.mesh is None
+        onl_h = ColumnHasher(self.onl_total, R, pok)
+        pre_h = ColumnHasher(self.pre_total, R, pok)
+        onlz_h = ColumnHasher(self.onlz_total, R, pok)
+        prez_h = ColumnHasher(self.prez_total, R, pok)
 
         def absorb(s, out):
             cc = self.segments[s].cc
@@ -673,10 +674,11 @@ class StreamingKKW:
             rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             mask = jnp.asarray(aj.lane_mask_from_omit(omit, Ro))
 
-        onl_h = ColumnHasher(self.onl_total, Ro)
-        pre_h = ColumnHasher(self.pre_total, Ro)
-        onlz_h = ColumnHasher(self.onlz_total, Ro)
-        prez_h = ColumnHasher(self.prez_total, Ro)
+        pok = self.mesh is None
+        onl_h = ColumnHasher(self.onl_total, Ro, pok)
+        pre_h = ColumnHasher(self.pre_total, Ro, pok)
+        onlz_h = ColumnHasher(self.onlz_total, Ro, pok)
+        prez_h = ColumnHasher(self.prez_total, Ro, pok)
 
         def inj(s):
             seg = self.segments[s]
@@ -747,8 +749,8 @@ class StreamingKKW:
                 rkp_p = aj.rkp_on_device(pk2.reshape(-1, KEY_SIZE))
                 mask_p = jnp.asarray(np.full(Rp * 8 // 32, 0xFFFFFFFF, np.uint32))
 
-        pre_hp = ColumnHasher(self.pre_total, Rp)
-        prez_hp = ColumnHasher(self.prez_total, Rp)
+        pre_hp = ColumnHasher(self.pre_total, Rp, self.mesh is None)
+        prez_hp = ColumnHasher(self.prez_total, Rp, self.mesh is None)
 
         def absorb_pre(s, out):
             cc = self.segments[s].cc

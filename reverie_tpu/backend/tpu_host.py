@@ -78,8 +78,8 @@ def device_footprint(cc, R: int) -> int:
 
     Terms (see Executor._trace and the tape builders for the shapes):
       tape2    (ceil(m2/128)*128, R) u8     -- GF2 mask tape rows
-      tapez    (ceil(mz/128)*128, R, 8) u32 x2 (lo, hi)
-      arenas   mask2+corr2 (n_vals2, R) u8; mzlo/mzhi (n_valsz, R, 8) u32;
+      tapez    (ceil(mz/128)*128, 8, R) u32 x2 (lo, hi)
+      arenas   mask2+corr2 (n_vals2, R) u8; mzlo/mzhi (n_valsz, 8, R) u32;
                czlo/czhi (n_valsz, R) u32
       streams  onl2+pre2+onlz+prez (rows, R) u8, counted twice: the hash
                stage materializes the same bytes again as u32 words
@@ -691,20 +691,23 @@ class TpuKKW:
         if key in self._hash_fns:
             return self._hash_fns[key]
         cc = self.cc
+        # GSPMD cannot partition pallas_call: under a mesh the hash traces
+        # with the XLA bulk path (partitions trivially on the rep/lane axis)
+        pok = self.mesh is None
 
         if with_comm:
             def fn(onl2, pre2, onlz, prez, comm2, commz):
-                hp2 = hash_columns(pre2, cc.pre2)
-                hpz = hash_columns(prez, cc.prez)
+                hp2 = hash_columns(pre2, cc.pre2, pok)
+                hpz = hash_columns(prez, cc.prez, pok)
                 h2 = hash_pair_columns(hp2, comm2)
                 hz = hash_pair_columns(hpz, commz)
                 return hash_pair_columns(h2, hz), comm2, commz
         else:
             def fn(onl2, pre2, onlz, prez):
-                ho2 = hash_columns(onl2, cc.onl2)
-                hoz = hash_columns(onlz, cc.onlz)
-                hp2 = hash_columns(pre2, cc.pre2)
-                hpz = hash_columns(prez, cc.prez)
+                ho2 = hash_columns(onl2, cc.onl2, pok)
+                hoz = hash_columns(onlz, cc.onlz, pok)
+                hp2 = hash_columns(pre2, cc.pre2, pok)
+                hpz = hash_columns(prez, cc.prez, pok)
                 h2 = hash_pair_columns(hp2, ho2)
                 hz = hash_pair_columns(hpz, hoz)
                 return hash_pair_columns(h2, hz), ho2, hoz
@@ -1357,13 +1360,15 @@ class TpuKKW:
             rep_h, _, _ = self._hash_fn(False)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"]
             )
-            # one fused device->host pull for hashes + fail flags
-            buf = np.asarray(self._pull_hash_fail()(rep_h, out["fail"]))
-            # dummy pad lanes (zero keys/streams) compute garbage: slice to
-            # the real online reps before the fail check
-            hashes_online = buf[: Rop * 32].reshape(Rop, 32)[:Ro]  # (40, 32)
-            if strict_zero_check and buf[Rop * 32 : Rop * 32 + Ro].any():
-                return False
+            # one fused device->host pull for hashes + fail flags; the pull
+            # runs async UNDER the preprocessing leg's device compute below
+            # (the two re-executions are independent until the final
+            # commitment reorder)
+            dbuf_onl = self._pull_hash_fail()(rep_h, out["fail"])
+            try:
+                dbuf_onl.copy_to_host_async()
+            except AttributeError:
+                pass
 
         # ---- preprocessing re-execution -----------------------------------
         Rp = params.preprocessing_reps
@@ -1406,6 +1411,14 @@ class TpuKKW:
             rep_h, _, _ = self._hash_fn(True)(
                 out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz
             )
+
+        with timer.phase("pulls"):
+            buf = np.asarray(dbuf_onl)
+            # dummy pad lanes (zero keys/streams) compute garbage: slice to
+            # the real online reps before the fail check
+            hashes_online = buf[: Rop * 32].reshape(Rop, 32)[:Ro]  # (40, 32)
+            if strict_zero_check and buf[Rop * 32 : Rop * 32 + Ro].any():
+                return False
             hashes_pre = np.asarray(rep_h)[:Rp]  # (216, 32)
 
         # ---- reorder + commitment check -----------------------------------

@@ -259,7 +259,7 @@ def _bulk_cvs(words, chunk_base):
     return _chunk_cvs(words, 16, np.full(16, 64, np.uint32), ctr, use_words=True)
 
 
-def _bulk_cvs_bytes(buf, n_bulk: int, chunk_base):
+def _bulk_cvs_bytes(buf, n_bulk: int, chunk_base, pallas_ok: bool = True):
     """CVs of the first `n_bulk` full chunks straight from transcript bytes:
     buf (>= n_bulk*1024 rows, R) uint8 in the natural layout.
 
@@ -275,7 +275,8 @@ def _bulk_cvs_bytes(buf, n_bulk: int, chunk_base):
     R = buf.shape[1]
     sel = os.environ.get("REVERIE_BLAKE3_FB", "1")
     if (
-        jax.default_backend() == "tpu"
+        pallas_ok
+        and jax.default_backend() == "tpu"
         and not os.environ.get("REVERIE_NO_PALLAS")
         and sel != "0"
         and n_bulk >= 2
@@ -316,9 +317,12 @@ def _tree_reduce(r0, r1, is_root: bool):
     return compress_rows(c0, c1, m, 0, 0, 64, PARENT | (ROOT if is_root else 0))
 
 
-def hash_columns(buf, T: int):
+def hash_columns(buf, T: int, pallas_ok: bool = True):
     """buf: (>=T, R) uint8 (rows beyond T ignored); returns (R, 32) uint8
-    per-column blake3 hashes.  T is static."""
+    per-column blake3 hashes.  T is static.  pallas_ok=False forces the XLA
+    bulk path -- callers tracing under a device mesh must pass it (GSPMD
+    cannot partition pallas_call; the per-column XLA scan partitions
+    trivially on the lane axis)."""
     R = buf.shape[1]
     if T == 0:
         from ..blake3_py import blake3_py
@@ -327,26 +331,29 @@ def hash_columns(buf, T: int):
         return jnp.broadcast_to(jnp.asarray(h)[None, :], (R, 32))
 
     n_chunks = (T + 1023) // 1024
-    padded = n_chunks * 1024
     buf = buf[:T]
-    if padded != T:
-        buf = jnp.concatenate([buf, jnp.zeros((padded - T, R), jnp.uint8)], axis=0)
 
     rem = T - (n_chunks - 1) * 1024
     nb_tail = max(1, (rem + 63) // 64)
     tail_lens = np.full(nb_tail, 64, np.uint32)
     tail_lens[nb_tail - 1] = rem - (nb_tail - 1) * 64
 
+    # only the TAIL chunk ever needs zero padding (<= 1 KiB concat); the bulk
+    # chunks read the unpadded buffer directly (padding the whole transcript
+    # to a chunk multiple was a 0.5 GB device copy at the 1M-gate shape)
+    tail = buf[(n_chunks - 1) * 1024 :]
+    if tail.shape[0] != 1024:
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((1024 - tail.shape[0], R), jnp.uint8)], axis=0
+        )
+    tail_words = _bytes_to_words(tail).reshape(1, 16, 16, R)
+
     if n_chunks == 1:
-        words = _bytes_to_words(buf).reshape(1, 16, 16, R)
-        r0, r1 = _chunk_cvs(words[:, :nb_tail], nb_tail, tail_lens, np.array([0]),
-                            last_flags_extra=ROOT)
+        r0, r1 = _chunk_cvs(tail_words[:, :nb_tail], nb_tail, tail_lens,
+                            np.array([0]), last_flags_extra=ROOT)
         out = (r0[:, 0], r1[:, 0])
     else:
-        f0, f1 = _bulk_cvs_bytes(buf, n_chunks - 1, 0)
-        tail_words = _bytes_to_words(buf[(n_chunks - 1) * 1024 :]).reshape(
-            1, 16, 16, R
-        )
+        f0, f1 = _bulk_cvs_bytes(buf, n_chunks - 1, 0, pallas_ok)
         t0, t1 = _chunk_cvs(tail_words[:, :nb_tail], nb_tail, tail_lens,
                             np.array([n_chunks - 1]))
         r0 = jnp.concatenate([f0, t0], axis=1)
@@ -381,7 +388,7 @@ def _rows_to_bytes(r0, r1):
 
 
 def absorb_columns(cvs0, cvs1, rem, chunk_base, new, rem_len: int,
-                   n_absorb: int):
+                   n_absorb: int, pallas_ok: bool = True):
     """Absorb an (L, R) byte block.  rem_len and n_absorb are static (chosen
     by the host so absorbed chunks never include the stream's final chunk);
     chunk_base is a traced i32 scalar (uniform segments share one compile).
@@ -390,7 +397,7 @@ def absorb_columns(cvs0, cvs1, rem, chunk_base, new, rem_len: int,
     buf = jnp.concatenate([rem[:rem_len], new], axis=0) if rem_len else new
     consumed = n_absorb * 1024
     if n_absorb:
-        c0, c1 = _bulk_cvs_bytes(buf, n_absorb, chunk_base)
+        c0, c1 = _bulk_cvs_bytes(buf, n_absorb, chunk_base, pallas_ok)
         cvs0 = jax.lax.dynamic_update_slice(cvs0, c0, (0, chunk_base, 0))
         cvs1 = jax.lax.dynamic_update_slice(cvs1, c1, (0, chunk_base, 0))
     tail = buf[consumed:]
@@ -428,7 +435,7 @@ _finalize_jit = None
 def _jits():
     global _absorb_jit, _finalize_jit
     if _absorb_jit is None:
-        _absorb_jit = jax.jit(absorb_columns, static_argnums=(5, 6))
+        _absorb_jit = jax.jit(absorb_columns, static_argnums=(5, 6, 7))
         _finalize_jit = jax.jit(finalize_columns, static_argnums=(3,))
     return _absorb_jit, _finalize_jit
 
@@ -445,9 +452,10 @@ class ColumnHasher:
         hashes = h.finalize()                            # (R, 32)
     """
 
-    def __init__(self, total_len: int, R: int):
+    def __init__(self, total_len: int, R: int, pallas_ok: bool = True):
         self.total_len = total_len
         self.R = R
+        self.pallas_ok = pallas_ok
         self.n_chunks = max(1, (total_len + 1023) // 1024)
         cap = self.n_chunks - 1
         self.cvs0 = jnp.zeros((4, max(cap, 1), R), U32)[:, :cap]
@@ -466,6 +474,7 @@ class ColumnHasher:
         self.cvs0, self.cvs1, self.rem = self._absorb(
             self.cvs0, self.cvs1, self.rem,
             jnp.int32(self.chunk_base), new, self.rem_len, n_absorb,
+            self.pallas_ok,
         )
         self.chunk_base += n_absorb
         self.rem_len = avail - n_absorb * 1024

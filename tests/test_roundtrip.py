@@ -21,7 +21,7 @@ def test_roundtrip_gf2_mul():
 
 
 def test_roundtrip_wide_and():
-    prog, wit2, witz = wide_and_circuit(50, width=32, seed=7)
+    prog, wit2, witz = wide_and_circuit(80, width=32, seed=7)
     proof = prove(prog, wit2, witz, seeds=fixed_seeds())
     assert verify(proof, prog)
 
@@ -89,7 +89,7 @@ def test_nondefault_params_roundtrip():
     from reverie_tpu.params import ProtocolParams
 
     params = ProtocolParams(online_reps=16, total_reps=64)
-    prog, wit2, witz = mul_bench_circuit(10)
+    prog, wit2, witz = mul_bench_circuit(20)
     seeds = np.random.RandomState(3).randint(
         0, 256, size=(8, 8, 16), dtype=np.uint8
     )
@@ -135,7 +135,7 @@ def test_make_system_auto_streaming():
     from reverie_tpu.backend.tpu_host import TpuKKW
     from reverie_tpu.circuit.builders import mul_bench_circuit
 
-    prog, wit2, witz = mul_bench_circuit(50)
+    prog, wit2, witz = mul_bench_circuit(20)
     s = np.random.RandomState(7).randint(0, 256, size=(256, 16), dtype=np.uint8)
     small = make_system(prog)
     assert isinstance(small, TpuKKW)

@@ -47,7 +47,13 @@ CASES = {
 
 
 @pytest.mark.parametrize("name", list(CASES))
-@pytest.mark.parametrize("seg_ops", [7, 23, 10_000])
+@pytest.mark.parametrize("seg_ops", [
+    # tiny segments multiply per-segment executor compiles; one fine-grained
+    # case stays default (mul60), the rest run in the slow tier
+    pytest.param(7, marks=pytest.mark.slow),
+    23,
+    pytest.param(10_000, marks=pytest.mark.slow),
+])
 def test_streamed_proof_matches_unsegmented(name, seg_ops):
     prog, wit2, witz = CASES[name]()
     s = seeds256()
@@ -80,7 +86,11 @@ def test_segment_stream_bases_are_consistent():
     assert (cor == whole.corr_slots2).all()
 
 
-@pytest.mark.parametrize("seg_ops", [9, 10_000])
+@pytest.mark.parametrize("seg_ops", [
+    pytest.param(9, marks=pytest.mark.slow),  # 15+ segments: compile-heavy
+    29,
+    10_000,
+])
 def test_streamed_verify_accepts(seg_ops):
     prog, wit2, witz = CASES["wide_and"]()
     s = seeds256()
@@ -131,7 +141,11 @@ Z64_CASES = {
 
 
 @pytest.mark.parametrize("name", list(Z64_CASES))
-@pytest.mark.parametrize("seg_ops", [5, 31, 10_000])
+@pytest.mark.parametrize("seg_ops", [
+    pytest.param(5, marks=pytest.mark.slow),  # many segments: compile-heavy
+    31,
+    pytest.param(10_000, marks=pytest.mark.slow),
+])
 def test_streamed_z64_proof_matches_unsegmented(name, seg_ops):
     """z64/B2A segments: carried u64-pair arena rows + windowed z64 tapes +
     byte-aligned z64 stream stitching must reproduce the unsegmented proof
@@ -166,8 +180,8 @@ def test_mesh_sharded_streamed_prove_matches():
 
     prog, wit2, witz = mixed_b2a_circuit()
     s = seeds256()
-    base = StreamingKKW(prog, 9).prove(wit2, witz, seeds=s)
-    sk = StreamingKKW(prog, 9, mesh=make_mesh(8))
+    base = StreamingKKW(prog, 24).prove(wit2, witz, seeds=s)
+    sk = StreamingKKW(prog, 24, mesh=make_mesh(8))
     proof = sk.prove(wit2, witz, seeds=s)
     assert proof.to_bytes() == base.to_bytes()
     assert sk.verify(proof)
