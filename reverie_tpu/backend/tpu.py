@@ -63,6 +63,9 @@ VERIFY_PRE = 2
 #: restore the round-1 everywhere-barrier (see _Acc.put)
 _FULL_BARRIER = bool(os.environ.get("REVERIE_FULL_BARRIER"))
 
+#: disable dead-value elimination (arena writes of never-read values)
+_NO_DVE = bool(os.environ.get("REVERIE_NO_DVE"))
+
 
 def _parity8(x):
     t = x ^ (x >> 4)
@@ -109,6 +112,43 @@ def carry_arena(n_vals: int, R: int, carried=None, tail=(), dtype=U8,
     z1 = jnp.zeros((1,) + shape_t, dtype)
     zrest = jnp.zeros((n_vals - 1 - k + extra_rows,) + shape_t, dtype)
     return jnp.concatenate([z1, carried, zrest], axis=0)
+
+
+def _dead_dst_columns(cc: CompiledCircuit, carry_out_vals, carry_outz_vals):
+    """(level, key) -> True when NO later gate (nor a streaming segment
+    carry) reads the column's dst values: their arena writes are dead and
+    the executor skips them.  Transcript streams are untouched, so proof
+    bytes are identical; what disappears is pure HBM write traffic (the
+    reference's bench circuit -- every MUL output overwritten unread,
+    proof/mod.rs:322-335 -- spends half its arena bandwidth on it)."""
+    r2 = np.zeros(cc.n_vals2 + 1, bool)
+    rz = np.zeros(cc.n_valsz + 1, bool)
+    for table in cc.levels:
+        for key, cols in table.items():
+            domain, _kind = divmod(key, N_KINDS)
+            tgt = r2 if domain == GF2 else rz
+            for nm in ("a", "b"):
+                if nm in cols:
+                    tgt[np.asarray(cols[nm], np.int64)] = True
+            if "zr" in cols:
+                rz[np.asarray(cols["zr"], np.int64)] = True
+            if "bits" in cols:  # B2A reads gf2 bit values
+                r2[np.asarray(cols["bits"], np.int64).reshape(-1)] = True
+    if carry_out_vals is not None:
+        r2[np.asarray(carry_out_vals, np.int64)] = True
+    if carry_outz_vals is not None:
+        rz[np.asarray(carry_outz_vals, np.int64)] = True
+    dead = {}
+    for li, table in enumerate(cc.levels):
+        for key, cols in table.items():
+            if "dst" not in cols:
+                continue
+            domain, _kind = divmod(key, N_KINDS)
+            tgt = r2 if domain == GF2 else rz
+            dead[(li, key)] = not bool(
+                tgt[np.asarray(cols["dst"], np.int64)].any()
+            )
+    return dead
 
 
 def _classify(idx: np.ndarray):
@@ -161,6 +201,11 @@ class Executor:
         self.tables: Dict[str, np.ndarray] = {}
         self.meta: Dict[str, tuple] = {}
         self._np_cols: Dict[str, np.ndarray] = {}
+        self._dead = (
+            {} if _NO_DVE
+            else _dead_dst_columns(cc, self.carry_out_vals,
+                                   self.carry_outz_vals)
+        )
         self._prep_tables()
         if self.carry_out_vals is not None:
             self.tables["carry_out_vals"] = self.carry_out_vals
@@ -307,27 +352,27 @@ class Executor:
                 corr = jnp.zeros_like(m)
             if mode != VERIFY_PRE:
                 st["onl2"] = A.put(st["onl2"], "onl", _expand(corr))
-            st["mask2"] = A.put(mask2, "dst", m)
-            st["corr2"] = A.put(corr2, "dst", corr)
+            st["mask2"] = A.put_dst(mask2, m)
+            st["corr2"] = A.put_dst(corr2, corr)
         elif kind == G_ADD:
             a = A.take(mask2, "a")
             b = A.take(mask2, "b")
             ac = A.take(corr2, "a")
             bc = A.take(corr2, "b")
-            st["mask2"] = A.put(mask2, "dst", a ^ b)
-            st["corr2"] = A.put(corr2, "dst", ac ^ bc)
+            st["mask2"] = A.put_dst(mask2, a ^ b)
+            st["corr2"] = A.put_dst(corr2, ac ^ bc)
         elif kind in (G_ADDC, G_SUBC):
             a = A.take(mask2, "a")
             ac = A.take(corr2, "a")
             cbit = A.arr("cbit")[:, None]
-            st["mask2"] = A.put(mask2, "dst", a)
-            st["corr2"] = A.put(corr2, "dst", ac ^ cbit)
+            st["mask2"] = A.put_dst(mask2, a)
+            st["corr2"] = A.put_dst(corr2, ac ^ cbit)
         elif kind == G_MULC:
             a = A.take(mask2, "a")
             ac = A.take(corr2, "a")
             cbit = A.arr("cbit")[:, None]
-            st["mask2"] = A.put(mask2, "dst", a & _expand(cbit))
-            st["corr2"] = A.put(corr2, "dst", ac & cbit)
+            st["mask2"] = A.put_dst(mask2, a & _expand(cbit))
+            st["corr2"] = A.put_dst(corr2, ac & cbit)
         elif kind == G_MUL:
             a = A.take(mask2, "a")
             b = A.take(mask2, "b")
@@ -347,8 +392,8 @@ class Executor:
                 recon = _parity8(s) ^ delta
             else:
                 recon = jnp.zeros_like(s)  # junk (verifier/preprocess.rs:63-65)
-            st["mask2"] = A.put(st["mask2"], "dst", m_new)
-            st["corr2"] = A.put(st["corr2"], "dst", recon ^ (ac & bc))
+            st["mask2"] = A.put_dst(st["mask2"], m_new)
+            st["corr2"] = A.put_dst(st["corr2"], recon ^ (ac & bc))
         elif kind == G_ASSERT:
             if mode == VERIFY_PRE:
                 return
@@ -361,11 +406,11 @@ class Executor:
             st["fail"] = st["fail"] | jnp.any(nonzero, axis=0)
         elif kind == G_RANDOM:
             m = A.take(inp["tape2"], "tape")
-            st["mask2"] = A.put(mask2, "dst", m)
+            st["mask2"] = A.put_dst(mask2, m)
         elif kind == G_CONST:
             cbit = A.arr("cbit")
             vals = jnp.broadcast_to(cbit[:, None], (cbit.shape[0], self.R))
-            st["corr2"] = A.put(corr2, "dst", vals)
+            st["corr2"] = A.put_dst(corr2, vals)
         else:
             raise ValueError(f"bad gf2 kind {kind}")
 
@@ -380,12 +425,12 @@ class Executor:
             return A.take(st["czlo"], name), A.take(st["czhi"], name)
 
         def put_mask(lo, hi):
-            st["mzlo"] = A.put(st["mzlo"], "dst", lo)
-            st["mzhi"] = A.put(st["mzhi"], "dst", hi)
+            st["mzlo"] = A.put_dst(st["mzlo"], lo)
+            st["mzhi"] = A.put_dst(st["mzhi"], hi)
 
         def put_corr(lo, hi):
-            st["czlo"] = A.put(st["czlo"], "dst", lo)
-            st["czhi"] = A.put(st["czhi"], "dst", hi)
+            st["czlo"] = A.put_dst(st["czlo"], lo)
+            st["czhi"] = A.put_dst(st["czhi"], hi)
 
         def tape_row(name):
             return A.take(inp["tapez_lo"], name), A.take(inp["tapez_hi"], name)
@@ -550,6 +595,8 @@ class _Acc:
         self.ex = ex
         self.pre = f"{li}.{key}."
         self.tables = tables
+        #: this column's dst values are never read -> skip their arena puts
+        self.dead_dst = ex._dead.get((li, key), False)
 
     def arr(self, name: str):
         return self.tables[self.pre + name]
@@ -588,6 +635,13 @@ class _Acc:
             w = w.reshape(k, 2 * lanes)
             return w[:, :lanes], w[:, lanes:]
         return self.take(src, name_a), self.take(src, name_b)
+
+    def put_dst(self, buf, vals):
+        """Arena write at the dst column -- skipped when the whole column is
+        dead (see _dead_dst_columns; REVERIE_NO_DVE=1 disables)."""
+        if self.dead_dst:
+            return buf
+        return self.put(buf, "dst", vals)
 
     def put(self, buf, name: str, vals):
         kind, *rest = self.ex.meta[self.pre + name]

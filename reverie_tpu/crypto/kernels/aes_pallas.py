@@ -122,8 +122,8 @@ def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool 
     )(rkp)
 
 
-def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, rkp_ref, mask_ref,
-                     start_ref, out_ref):
+def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, colsched: bool,
+                     rkp_ref, mask_ref, start_ref, out_ref):
     """AES-CTR + tape assembly fused in one kernel.
 
     Extends _aes_kernel by writing the *tape words* directly: output element
@@ -213,48 +213,103 @@ def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, rkp_ref, mask_ref,
             for bit in range(8)
         )
 
-    if unroll:
+    def round_body_cs(rnd, planes):
+        """Column-scheduled round: identical math, reordered so each output
+        column's 4 S-boxes + MixColumns + AddRoundKey complete before the
+        next column starts.  The standard order computes all 16 S-boxes
+        first, holding ~128 live planes plus S-box temps across the whole
+        SubBytes pass -- 2x the vreg file at the production tile shape, so
+        Mosaic spills; this order caps the live set at ~(128 inputs
+        declining) + 32 outputs + one S-box's temps."""
+        rk = rkp_ref[rnd]
+        out = [None] * 128
+        for c in range(4):
+            rows = []
+            for r in range(4):
+                src = int(_SHIFT_ROWS[4 * c + r])
+                msb = [planes[src * 8 + 7 - i] for i in range(8)]
+                sb = sbox_bitsliced(msb, lambda a, b: a ^ b,
+                                    lambda a, b: a & b, lambda a: ~a)
+                rows.append([sb[7 - i] for i in range(8)])
+            xt = [xtime(r_) for r_ in rows]
+            for i in range(8):
+                out[(4 * c + 0) * 8 + i] = (
+                    xt[0][i] ^ xt[1][i] ^ rows[1][i] ^ rows[2][i] ^ rows[3][i]
+                ) ^ rk[4 * c + 0, i][None, :]
+                out[(4 * c + 1) * 8 + i] = (
+                    rows[0][i] ^ xt[1][i] ^ xt[2][i] ^ rows[2][i] ^ rows[3][i]
+                ) ^ rk[4 * c + 1, i][None, :]
+                out[(4 * c + 2) * 8 + i] = (
+                    rows[0][i] ^ rows[1][i] ^ xt[2][i] ^ xt[3][i] ^ rows[3][i]
+                ) ^ rk[4 * c + 2, i][None, :]
+                out[(4 * c + 3) * 8 + i] = (
+                    xt[0][i] ^ rows[0][i] ^ rows[1][i] ^ rows[2][i] ^ xt[3][i]
+                ) ^ rk[4 * c + 3, i][None, :]
+        return tuple(out)
+
+    body = round_body_cs if colsched else round_body
+    if unroll or colsched:
         # static rounds: no 128-plane loop carry (the fori_loop form makes
         # Mosaic round-trip the whole state through VMEM every round)
         for rnd in range(1, 10):
-            planes = round_body(rnd, planes)
+            planes = body(rnd, planes)
     else:
-        planes = jax.lax.fori_loop(1, 10, round_body, planes)
-    planes = sub_bytes(planes)
-    planes = shift_rows(planes)
-    rk10 = rkp_ref[10]
+        planes = jax.lax.fori_loop(1, 10, body, planes)
     mask = mask_ref[0][None, :]  # (1, Kw)
     m1, m2_, m4 = (jnp.asarray(v, U32) for v in (0x55555555, 0x33333333, 0x0F0F0F0F))
     kwr = Kw // bpr
-    for by in range(16):
-        for j in range(8):
-            # tape index b*128 + by*8 + j reads keystream bit (7-j)
-            w = planes[by * 8 + (7 - j)] ^ rk10[by, 7 - j][None, :]
-            # bit-reverse within each byte lane: player p -> bit (7-p)
-            w = ((w & m1) << 1) | ((w >> 1) & m1)
-            w = ((w & m2_) << 2) | ((w >> 2) & m2_)
-            w = ((w & m4) << 4) | ((w >> 4) & m4)
-            w = w & mask
-            if bpr > 1:
-                # de-interleave the lane groups in-kernel: block t*bpr + g
-                # lives in lanes [g*kwr, (g+1)*kwr); storing block-major here
-                # keeps the XLA tail a pure reshape (a post-kernel moveaxis
-                # transposes a >= GiB temp whose minor dims pad 16x in HBM
-                # at streaming-segment sizes -- 64 GiB alloc at B=32768)
-                for g in range(bpr):
-                    out_ref[:, g, by, j] = w[:, g * kwr : (g + 1) * kwr]
-            else:
-                out_ref[:, by, j] = w
+    rk10 = rkp_ref[10]
+
+    def emit(by, j, w):
+        # bit-reverse within each byte lane: player p -> bit (7-p)
+        w = ((w & m1) << 1) | ((w >> 1) & m1)
+        w = ((w & m2_) << 2) | ((w >> 2) & m2_)
+        w = ((w & m4) << 4) | ((w >> 4) & m4)
+        w = w & mask
+        if bpr > 1:
+            # de-interleave the lane groups in-kernel: block t*bpr + g
+            # lives in lanes [g*kwr, (g+1)*kwr); storing block-major here
+            # keeps the XLA tail a pure reshape (a post-kernel moveaxis
+            # transposes a >= GiB temp whose minor dims pad 16x in HBM
+            # at streaming-segment sizes -- 64 GiB alloc at B=32768)
+            for g in range(bpr):
+                out_ref[:, g, by, j] = w[:, g * kwr : (g + 1) * kwr]
+        else:
+            out_ref[:, by, j] = w
+
+    if colsched:
+        # final round, byte-at-a-time: one S-box live at a time, each output
+        # byte's 8 tape words emitted straight from its S-box
+        for by in range(16):
+            src = int(_SHIFT_ROWS[by])
+            msb = [planes[src * 8 + 7 - i] for i in range(8)]
+            sb = sbox_bitsliced(msb, lambda a, b: a ^ b,
+                                lambda a, b: a & b, lambda a: ~a)
+            for j in range(8):
+                # tape index b*128 + by*8 + j reads keystream bit (7-j)
+                emit(by, j, sb[j] ^ rk10[by, 7 - j][None, :])
+    else:
+        planes = sub_bytes(planes)
+        planes = shift_rows(planes)
+        for by in range(16):
+            for j in range(8):
+                emit(by, j, planes[by * 8 + (7 - j)] ^ rk10[by, 7 - j][None, :])
 
 
 def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                             tile_b: int = 32, tile_kw: int = 64,
-                            interpret: bool = False, unroll: bool = False):
+                            interpret: bool = False, unroll: bool = False,
+                            colsched: bool | None = None):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2, fully in-kernel.
     Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple and
     grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
     stay within VMEM.  start_block (int or traced i32 scalar): CTR base, for
-    streaming-segment tape windows."""
+    streaming-segment tape windows.  colsched selects the column-scheduled
+    round body (default: REVERIE_AES_COLSCHED env, off)."""
+    import os as _os
+
+    if colsched is None:
+        colsched = bool(_os.environ.get("REVERIE_AES_COLSCHED"))
     Kw = rkp.shape[-1]
     B = n_blocks
     mask2d = lane_mask.reshape(1, Kw)
@@ -296,7 +351,7 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                                  lambda i, k: (i, 0, 0, k),
                                  memory_space=pltpu.VMEM)
     words = pl.pallas_call(
-        functools.partial(_aes_tape_kernel, tile_b, bpr, unroll),
+        functools.partial(_aes_tape_kernel, tile_b, bpr, unroll, colsched),
         out_shape=out_shape,
         grid=grid,
         in_specs=[

@@ -114,6 +114,25 @@ def test_pallas_tape_lane_mask_omits_players():
     np.testing.assert_array_equal(tape, golden)
 
 
+@pytest.mark.slow
+def test_pallas_tape_colsched_matches_host_golden():
+    """The column-scheduled round body (REVERIE_AES_COLSCHED) is a pure
+    reordering of the standard body; byte-exact vs the host golden.  Slow
+    tier: the 9-round-unrolled interpret graph hits XLA:CPU's superlinear
+    compile (~8 min)."""
+    R = 32
+    pk = _keys(R)
+    rkp = aj.round_key_planes(pk.reshape(-1, 16))
+    mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+    m2 = 8 * 128
+    golden, _, _ = build_tapes(pk, None, m2, 0)
+    tape = np.asarray(
+        aes_ctr_tape_gf2_pallas(rkp, 8, mask, tile_b=8, interpret=True,
+                                colsched=True)
+    )[:m2]
+    np.testing.assert_array_equal(tape, golden)
+
+
 def test_pallas_planes_match_xla_kernel_tape():
     """Planes kernel + the XLA post-processing path agree with aes_jax."""
     R = 32
