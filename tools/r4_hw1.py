@@ -132,32 +132,45 @@ def part_fbcheck():
 
 def part_aes():
     # varied-start authority: tools/aes_hw_check.py is the byte oracle;
-    # here we time the production tape path at the 1M shape
+    # here we time the production tape path at the 1M shape, std vs
+    # column-scheduled round body, and byte-check colsched vs std on HW
+    # (interpret-mode validation is impossible: XLA:CPU's superlinear
+    # compile on the unrolled graph exceeds 30 min)
     from reverie_tpu.crypto.kernels import aes_jax as aj
     from reverie_tpu.crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
 
-    B = 15626
     rng = np.random.default_rng(9)
+    keys_s = rng.integers(0, 256, (256, 16), dtype=np.uint8)
+    mask_s = np.full(256 // 32, 0xFFFFFFFF, np.uint32)
+    a = aes_ctr_tape_gf2_pallas(
+        aj.round_key_planes_device(jnp.asarray(keys_s)), 64,
+        jnp.asarray(mask_s), start_block=5)
+    b = aes_ctr_tape_gf2_pallas(
+        aj.round_key_planes_device(jnp.asarray(keys_s)), 64,
+        jnp.asarray(mask_s), start_block=5, colsched=True)
+    ok = np.array_equal(np.asarray(a), np.asarray(b))
+    print(f"colsched byte-check vs std: {'OK' if ok else 'MISMATCH ***'}",
+          flush=True)
+    assert ok
+
+    B = 15626
     keys = rng.integers(0, 256, (2048, 16), dtype=np.uint8)
     mask = np.full(2048 // 32, 0xFFFFFFFF, np.uint32)
-
-    @jax.jit
-    def tape_fn(k, start):
-        return aes_ctr_tape_gf2_pallas(
+    for cs in (False, True):
+        fn = jax.jit(lambda k, start, cs=cs: aes_ctr_tape_gf2_pallas(
             aj.round_key_planes_device(k), B, jnp.asarray(mask),
-            start_block=start,
-        )[0, 0].astype(jnp.uint32)
-
-    s = tape_fn(jnp.asarray(keys), jnp.int32(0))
-    np.asarray(s)
-    t0 = time.time()
-    it = 5
-    for i in range(it):
-        s = tape_fn(jnp.asarray(keys), (s % 97).astype(jnp.int32))
-    np.asarray(s)
-    dt = (time.time() - t0) / it
-    print(f"aes tape B={B} Kw=512(2048 keys): {dt*1e3:.1f} ms "
-          f"~{B*16*2048/1e9/dt:.1f} GB/s keystream", flush=True)
+            start_block=start, colsched=cs,
+        )[0, 0].astype(jnp.uint32))
+        s = fn(jnp.asarray(keys), jnp.int32(0))
+        np.asarray(s)
+        t0 = time.time()
+        it = 5
+        for i in range(it):
+            s = fn(jnp.asarray(keys), (s % 97).astype(jnp.int32))
+        np.asarray(s)
+        dt = (time.time() - t0) / it
+        print(f"aes tape B={B} Kw=512 colsched={cs}: {dt*1e3:.1f} ms "
+              f"~{B*16*2048/1e9/dt:.1f} GB/s keystream", flush=True)
 
 
 def part_devlim():
