@@ -305,11 +305,18 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
     grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
     stay within VMEM.  start_block (int or traced i32 scalar): CTR base, for
     streaming-segment tape windows.  colsched selects the column-scheduled
-    round body (default: REVERIE_AES_COLSCHED env, off)."""
+    round body (default ON for compiled TPU runs -- 2x on HW, byte-checked
+    vs the std body on hardware in tools/r4_hw1.py `aes`; OFF in interpret
+    mode, where XLA:CPU's superlinear pipeline makes the unrolled colsched
+    graph uncompilable.  REVERIE_AES_COLSCHED=0 forces the std body)."""
     import os as _os
 
     if colsched is None:
-        colsched = bool(_os.environ.get("REVERIE_AES_COLSCHED"))
+        env = _os.environ.get("REVERIE_AES_COLSCHED")
+        if env is not None:
+            colsched = env not in ("", "0")
+        else:
+            colsched = not interpret
     Kw = rkp.shape[-1]
     B = n_blocks
     mask2d = lane_mask.reshape(1, Kw)
