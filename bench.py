@@ -157,13 +157,21 @@ def _sha256_batch_bench() -> dict:
 
 
 def _device_limited_bench(sys_, wit2) -> dict:
-    """THE chip metric: host-pull-fenced per-phase device time for the 1M
-    prove (method of tools/r3_prof.py; REVERIE_PROFILE's block_until_ready
-    does not reliably block on the axon relay).  Sums tape + execute + hash
-    + extract_dev -- everything the chip does, excluding the rig's ~30 MB/s
-    tunnel pulls -- and reports N/total as device_limited_gates_per_sec.
-    This is the number the >=10x north star is judged on for
-    directly-attached hardware (BASELINE.md)."""
+    """THE chip metric: RTT-cancelled per-phase device time for the 1M prove.
+
+    Round-3 fenced every phase with a host pull whose calibration re-pulled
+    an already-materialized array, so each phase silently included one axon
+    relay roundtrip (~27 ms on this rig) -- the source of BASELINE.md's 2x
+    accounting contradiction.  Method now (tools/r4_devlim.py): each phase
+    chains K repetitions through a donated 1-element perturb jit and a
+    1-element fold jit with ONE pull at the end; per-iter device time is the
+    slope (T(K=8)-T(K=2))/6, which cancels the RTT, the dispatch floor
+    (~0.1 ms/call), and the ramp.  Phase jits are the production ones (warm
+    from the prove warmup); the jit boundary forces full materialization, so
+    the tiny fold cannot DCE phase work.  Sums tape + execute + hash +
+    extract_dev -- everything the chip does, excluding the rig's ~30 MB/s
+    tunnel pulls -- as device_limited_gates_per_sec: the number the >=10x
+    north star is judged on for directly-attached hardware (BASELINE.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -174,68 +182,108 @@ def _device_limited_bench(sys_, wit2) -> dict:
 
     R = DEFAULT_PARAMS.total_reps
     cc = sys_.cc
-
-    def fence(x):
-        return float(np.asarray(x).reshape(-1)[0])
-
-    small = jax.jit(lambda s: (s + 1))(jnp.uint32(3))
-    fence(small)
-    lats = []
-    for _ in range(5):
-        t0 = time.time()
-        fence(small)
-        lats.append(time.time() - t0)
-    pull = min(lats)
     rng = np.random.default_rng(11)
-    bc = jax.jit(lambda w, r: jnp.repeat(w, r, axis=1), static_argnums=(1,))
+    seeds = rng.integers(0, 256, (R, 16), dtype=np.uint8)
+    pk = expand_seeds(seeds).reshape(R, 8, 16)
     w2 = np.asarray([1 if b else 0 for b in wit2], np.uint8)
-    best: dict = {}
-    for it in range(3):
-        seeds = rng.integers(0, 256, (R, 16), dtype=np.uint8)
-        player_keys = expand_seeds(seeds).reshape(R, 8, 16)
-        t = {}
-        t0 = time.time()
-        tape2 = sys_._gf2_tape(player_keys, None)
-        fence(tape2[:1, :1])
-        t["tape"] = time.time() - t0 - pull
-        inp = dict(
-            tape2=tape2,
-            tapez_lo=np.zeros((0, 8, R), np.uint32),
-            tapez_hi=np.zeros((0, 8, R), np.uint32),
-            wit2=bc(w2[: cc.n_wit2, None], R),
-            witz_lo=bc(np.zeros(0, np.uint32)[:, None], R),
-            witz_hi=bc(np.zeros(0, np.uint32)[:, None], R),
+
+    perturb = jax.jit(
+        lambda a, s: a.at[0, 0].set((s & jnp.uint32(1)).astype(a.dtype)),
+        donate_argnums=0,
+    )
+    fold = jax.jit(lambda a: a.reshape(-1)[0].astype(jnp.uint32))
+
+    def host_slope(step, state0, k_lo=2, k_hi=8, reps=3):
+        s, st = step(jnp.uint32(0), state0)
+        float(np.asarray(s))  # warm
+
+        def run(k):
+            nonlocal st
+            s, st2 = step(jnp.uint32(1), st)
+            float(np.asarray(s))  # fence the ramp; RTT cancels in the slope
+            st = st2
+            t0 = time.time()
+            for _ in range(k):
+                s, st = step(s, st)
+            float(np.asarray(s))
+            return time.time() - t0
+
+        return min(
+            (run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(reps)
         )
-        t0 = time.time()
-        out = sys_._executor(PROVER, R)(inp)
-        fence(out["onl2"][:1, :1])
-        t["execute"] = time.time() - t0 - pull
-        t0 = time.time()
-        rep_h, ho2, hoz = sys_._hash_fn(False)(
-            out["onl2"], out["pre2"], out["onlz"], out["prez"]
-        )
-        fence(rep_h[:1, :1])
-        t["hash"] = time.time() - t0 - pull
-        buf = np.asarray(sys_._pull_hash_fail()(rep_h, out["fail"], ho2, hoz))
-        comm = blake3(buf[: R * 32].tobytes())
-        omit = np.full(R, 8, dtype=np.int64)
-        for rep, p in challenge_to_opening(comm, DEFAULT_PARAMS).items():
-            omit[rep] = p
-        cols = np.nonzero(omit < 8)[0]
-        t0 = time.time()
-        g2buf = sys_._extract_gf2_dispatch(out, cols, omit[cols])
-        fence(g2buf[:1])
-        t["extract_dev"] = time.time() - t0 - pull
-        tot = sum(t.values())
-        log("  devlim #%d: %s  total=%.1fms" % (
-            it, " ".join(f"{k}={v*1e3:.1f}ms" for k, v in t.items()),
-            tot * 1e3))
-        if not best or tot < sum(best.values()):
-            best = t
-    total = sum(best.values())
+
+    t = {}
+
+    # --- tape (production AES jit, keys device-resident) ---
+    tape_fn = sys_._hash_fns.get(("aes", True)) or sys_._hash_fns[
+        ("aes", False)]
+    nblocks = ((cc.m2 + 127) // 128) * 16 // 16
+    mask_d = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
+
+    def tape_step(s, k):
+        k = perturb(k, s)
+        return fold(tape_fn(k, nblocks, mask_d)), k
+
+    t["tape"] = host_slope(tape_step, jnp.asarray(pk.reshape(-1, 16)))
+
+    # --- execute ---
+    tape2 = sys_._gf2_tape(pk, None)
+    zrow = jnp.zeros((0, 8, R), jnp.uint32)
+    zwit = jnp.zeros((0, R), jnp.uint32)
+    wit2_d = jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R, axis=1))
+    ex = sys_._executor(PROVER, R)
+
+    def mkinp(w):
+        return dict(tape2=tape2, tapez_lo=zrow, tapez_hi=zrow, wit2=w,
+                    witz_lo=zwit, witz_hi=zwit)
+
+    def exec_step(s, w):
+        w = perturb(w, s)
+        return fold(ex(mkinp(w))["onl2"]), w
+
+    t["execute"] = host_slope(exec_step, wit2_d)
+
+    # --- hash ---
+    out0 = dict(ex(mkinp(jnp.asarray(
+        np.repeat(w2[: cc.n_wit2, None], R, axis=1)))))
+    hfn = sys_._hash_fn(False)
+
+    def hash_step(s, o):
+        o = perturb(o, s)
+        return fold(hfn(o, out0["pre2"], out0["onlz"], out0["prez"])[0]), o
+
+    t["hash"] = host_slope(hash_step, jnp.array(out0["onl2"]))
+
+    # --- extract (production extractor at the real challenge shape) ---
+    rep_h, ho2, hoz = hfn(out0["onl2"], out0["pre2"], out0["onlz"],
+                          out0["prez"])
+    buf = np.asarray(sys_._pull_hash_fail()(rep_h, out0["fail"], ho2, hoz))
+    comm = blake3(buf[: R * 32].tobytes())
+    omit = np.full(R, 8, dtype=np.int64)
+    for rep, p in challenge_to_opening(comm, DEFAULT_PARAMS).items():
+        omit[rep] = p
+    cols = np.nonzero(omit < 8)[0]
+    g0 = sys_._extract_gf2_dispatch(  # builds + caches the extractor jit
+        {k: out0[k] for k in ("onl2", "pre2")}, cols, omit[cols])
+    float(np.asarray(g0[:1]))
+    extractor = sys_._hash_fns["extract2"][(R, len(cols))]
+    shifts_full = np.zeros(R, dtype=np.uint8)
+    shifts_full[cols] = (7 - omit[cols]).astype(np.uint8)
+    sh_d = jnp.asarray(shifts_full)
+    cols_d = jnp.asarray(cols.astype(np.int32))
+
+    def extract_step(s, o):
+        o = perturb(o, s)
+        return fold(extractor(o, out0["pre2"], sh_d, cols_d)), o
+
+    t["extract_dev"] = host_slope(extract_step, jnp.array(out0["onl2"]))
+
+    total = sum(t.values())
+    log("  devlim (slope): %s  total=%.1fms" % (
+        " ".join(f"{k}={v*1e3:.1f}ms" for k, v in t.items()), total * 1e3))
     return {
         "device_limited_gates_per_sec": round(N_GATES / total),
-        "device_phase_ms": {k: round(v * 1e3, 1) for k, v in best.items()},
+        "device_phase_ms": {k: round(v * 1e3, 1) for k, v in t.items()},
     }
 
 

@@ -194,5 +194,72 @@ def main(n_gates=1_000_000):
           f"the slope; checksum adds ~1 read pass/phase)", flush=True)
 
 
+def main_z64(n_muls=50_000):
+    """Slope-method device profile of the z64 executor (verdict item #5:
+    player-major share-event emission; bar >=300k mul gates/s device)."""
+    from reverie_tpu.backend.tpu_host import TpuKKW, PROVER, expand_seeds
+    from reverie_tpu.circuit.builders import z64_mul_bench_circuit
+
+    print(f"devices: {jax.devices()}", flush=True)
+    prog, w2, wz = z64_mul_bench_circuit(n_muls)
+    sys_ = TpuKKW(prog)
+    cc = sys_.cc
+    rng = np.random.default_rng(3)
+    seeds = rng.integers(0, 256, (R, 16), dtype=np.uint8)
+    pk = expand_seeds(seeds).reshape(R, 8, 16)
+    tape2 = sys_._gf2_tape(pk, None)
+    tzlo, tzhi = sys_._z64_tape(pk, None)
+    wlo = np.asarray([w & 0xFFFFFFFF for w in wz], np.uint32)
+    whi = np.asarray([(w >> 32) & 0xFFFFFFFF for w in wz], np.uint32)
+    wit2_d = jnp.asarray(
+        np.repeat(np.zeros((cc.n_wit2, 1), np.uint8), R, axis=1))
+    wlo_d = jnp.asarray(np.repeat(wlo[: cc.n_witz, None], R, axis=1))
+    whi_d = jnp.asarray(np.repeat(whi[: cc.n_witz, None], R, axis=1))
+    ex = sys_._executor(PROVER, R)
+
+    perturb = jax.jit(
+        lambda w, s: w.at[0, 0].set(s & jnp.uint32(1)), donate_argnums=0)
+    fold = jax.jit(lambda a: a.reshape(-1)[0].astype(U32))
+
+    def host_slope(step, state0, k_lo=2, k_hi=8, reps=3):
+        s, st = step(jnp.uint32(0), state0)
+        float(np.asarray(s))
+
+        def run(k):
+            nonlocal st
+            s, st2 = step(jnp.uint32(1), st)
+            float(np.asarray(s))
+            st = st2
+            t0 = time.time()
+            for _ in range(k):
+                s, st = step(s, st)
+            float(np.asarray(s))
+            return time.time() - t0
+
+        return min((run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(reps))
+
+    def exec_step(s, w):
+        w = perturb(w, s)
+        out = ex(dict(tape2=tape2, tapez_lo=tzlo, tapez_hi=tzhi, wit2=wit2_d,
+                      witz_lo=w, witz_hi=whi_d))
+        return fold(out["onlz"]), w
+
+    d_exec = host_slope(exec_step, wlo_d)
+    print(f"z64 execute: {d_exec*1e3:.1f} ms -> "
+          f"{n_muls/d_exec/1e3:.0f}k mul gates/s device", flush=True)
+
+    # tape + hash for the full device picture
+    def hash_step(s, o):
+        o = perturb(o, s)
+        out0_ = ex(dict(tape2=tape2, tapez_lo=tzlo, tapez_hi=tzhi,
+                        wit2=wit2_d, witz_lo=o, witz_hi=whi_d))
+        return fold(out0_["onlz"]), o
+
+    _ = hash_step  # hash dominated by onlz streams; covered by gf2 main
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
+    if len(sys.argv) > 1 and sys.argv[1] == "z64":
+        main_z64(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
