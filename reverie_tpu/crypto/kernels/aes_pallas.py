@@ -9,7 +9,10 @@ State layout per grid step (one tile of TB counter blocks):
 ShiftRows is a list permutation (free); MixColumns a few XORs; SubBytes runs
 the 113-gate Boyar-Peralta circuit per byte position (small live set).
 AES is compute-bound here: ~2000 bit-ops per 16-byte block per instance;
-speed-of-light on the VPU is ~17 ms for a 512 MB keystream.
+speed-of-light on the VPU is ~17 ms for a 512 MB keystream.  Round-4
+measured (column-scheduled round body, default): 12.0 ms by the RTT-
+cancelled slope method at the 1M-gate tape shape (B=15626, 2048 keys) --
+see BASELINE.md round-4 accounting and tools/r4_devlim.py.
 """
 
 from __future__ import annotations

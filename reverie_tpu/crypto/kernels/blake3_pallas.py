@@ -20,7 +20,10 @@ pass entirely:
 Scope: *bulk* full chunks only (16 blocks x 64 B, non-root), like the v1-v3
 word-based kernels this file replaces (round-3 HW data: all three lost to
 the XLA word scan; the from-bytes form is the round-4 design from
-BASELINE.md's roofline).  The final chunk / tree reduction stays in XLA
+BASELINE.md's roofline).  Round-4 measured: production hash_columns at
+T=2M/R=256 runs 3.47 ms = 147.6 GB/s by the RTT-cancelled slope method
+(>=80 GB/s bar met; byte-exact on HW at R=256/128/40 -- tools/r4_hw1.py
+fbcheck, tools/r4_devlim.py).  The final chunk / tree reduction stays in XLA
 (negligible bytes).  The XLA path (blake3_jax._chunk_cvs*) remains the
 differential oracle.
 """

@@ -9,7 +9,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The default tier is XLA:CPU compile-bound and asserts BYTE-EXACTNESS, not
+# speed: backend optimization level 0 cuts cold compiles ~3.5x (heaviest
+# test 151 -> 42 s) without changing semantics.  The production compile
+# path (O2, TPU) is separately covered by the hardware golden battery
+# (tools/tpu_check.py).  Set REVERIE_TEST_FULL_OPT=1 to restore O2 here.
+if ("xla_backend_optimization_level" not in flags
+        and not os.environ.get("REVERIE_TEST_FULL_OPT")):
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
