@@ -267,9 +267,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
         {k: out0[k] for k in ("onl2", "pre2")}, cols, omit[cols])
     float(np.asarray(g0[:1]))
     extractor = sys_._hash_fns["extract2"][(R, len(cols))]
-    shifts_full = np.zeros(R, dtype=np.uint8)
-    shifts_full[cols] = (7 - omit[cols]).astype(np.uint8)
-    sh_d = jnp.asarray(shifts_full)
+    sh_d = jnp.asarray((7 - omit[cols]).astype(np.uint8))
     cols_d = jnp.asarray(cols.astype(np.int32))
 
     def extract_step(s, o):

@@ -6,6 +6,7 @@ everything around it (reference proof/mod.rs:118-308 orchestration).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -227,8 +228,8 @@ def _pack_rows_device(bits):
 
 
 def make_gf2_extractor(cc: CompiledCircuit, out_sharding=None):
-    """Jitted device fn: (onl2, pre2, onehot(R,K) int8, shifts(K,)) ->
-    packed (recons, corrs, inputs) byte arrays, each (n//8+1, K).
+    """Jitted device fn: (onl2, pre2, shifts_sel(K,) u8, cols(K,) i32) ->
+    flat packed [recons | corrs | inputs], each (K, n//8+1) row-major.
     `out_sharding`: replicated NamedSharding on multi-process meshes so the
     host can read the extraction buffer on every process."""
     import jax
@@ -265,16 +266,36 @@ def make_gf2_extractor(cc: CompiledCircuit, out_sharding=None):
     take_cor = row_taker(cc.corr_slots2)
     take_inp = row_taker(cc.input_slots2)
 
-    def fn(onl2, pre2, shifts_full, cols):
-        # pack the per-rep bit streams 8x on device, then select the opened
-        # columns of the (8x smaller) packed buffers
-        rec_bits = (take_rec(onl2) >> shifts_full[None, :]) & jnp.uint8(1)
-        cor_bits = take_cor(pre2) & jnp.uint8(1)
-        inp_bits = take_inp(onl2) & jnp.uint8(1)
+    use_mm = os.environ.get("REVERIE_EXTRACT_MM", "1") not in ("", "0")
+
+    def fn(onl2, pre2, shifts_sel, cols):
+        # Select the K opened rep columns FIRST (K=40 online reps for a
+        # prover at reference params, vs R=256 total): every downstream op
+        # (shift, bit-pack, transpose) then runs on a 6.4x smaller array.
+        # The unavoidable cost is the full (n, R) stream read; a one-hot
+        # int8 MXU matmul does the column select faster than an XLA lane
+        # gather (mod-256 exact: u8 -> i8 wraps, one-hot sums pick a single
+        # row back out; r4 probe: 4.6 vs 7.5 ms at the 1M shape).
+        # REVERIE_EXTRACT_MM=0 restores the gather form.
+        K = cols.shape[0]
+        if use_mm:
+            onehot = (jax.nn.one_hot(cols, onl2.shape[1], dtype=jnp.int8)
+                      .T)  # (R, K)
+            def sel(buf):
+                picked = jax.lax.dot(buf.astype(jnp.int8), onehot,
+                                     preferred_element_type=jnp.int32)
+                return picked.astype(jnp.uint8)  # (n, K)
+            onl_sel = sel(onl2)
+            pre_sel = sel(pre2)
+        else:
+            onl_sel = jnp.take(onl2, cols, axis=1)  # (n_onl, K)
+            pre_sel = jnp.take(pre2, cols, axis=1)  # (n_pre, K)
+        rec_bits = (take_rec(onl_sel) >> shifts_sel[None, :]) & jnp.uint8(1)
+        cor_bits = take_cor(pre_sel) & jnp.uint8(1)
+        inp_bits = take_inp(onl_sel) & jnp.uint8(1)
 
         def packsel(bits):
-            packed = _pack_rows_device(bits)  # (n//8+1, R)
-            return jnp.take(packed.T, cols, axis=0)  # (K, n//8+1)
+            return _pack_rows_device(bits).T  # (K, n//8+1)
 
         # one flat buffer -> a single device->host pull in the caller
         return jnp.concatenate(
@@ -963,10 +984,9 @@ class TpuKKW:
             cache[key] = make_gf2_extractor(
                 cc, out_sharding=self._sh() if self._multiproc else None
             )
-        shifts_full = np.zeros(R, dtype=np.uint8)
-        shifts_full[cols] = (7 - omit_sel).astype(np.uint8)
+        shifts_sel = (7 - omit_sel).astype(np.uint8)
         return cache[key](
-            out["onl2"], out["pre2"], jnp.asarray(shifts_full),
+            out["onl2"], out["pre2"], jnp.asarray(shifts_sel),
             jnp.asarray(cols.astype(np.int32)),
         )  # single buffer: rec | cor | inp, each (K, n//8+1) flattened
 

@@ -174,9 +174,7 @@ def main(n_gates=1_000_000):
         omit[rep] = p
     cols = np.nonzero(omit < 8)[0]
     extractor = make_gf2_extractor(cc)
-    shifts_full = np.zeros(R, dtype=np.uint8)
-    shifts_full[cols] = (7 - omit[cols]).astype(np.uint8)
-    sh_d = jnp.asarray(shifts_full)
+    sh_d = jnp.asarray((7 - omit[cols]).astype(np.uint8))
     cols_d = jnp.asarray(cols.astype(np.int32))
 
     def extract_step(s, o):
