@@ -227,14 +227,15 @@ def _device_limited_bench(sys_, wit2) -> dict:
     t["tape"] = host_slope(tape_step, jnp.asarray(pk.reshape(-1, 16)))
 
     # --- execute ---
-    tape2 = sys_._gf2_tape(pk, None)
+    tape2 = sys_._gf2_tape(pk, None, split=sys_._use_tape_split)
     zrow = jnp.zeros((0, 8, R), jnp.uint32)
     zwit = jnp.zeros((0, R), jnp.uint32)
     wit2_d = jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R, axis=1))
     ex = sys_._executor(PROVER, R)
 
     def mkinp(w):
-        return dict(tape2=tape2, tapez_lo=zrow, tapez_hi=zrow, wit2=w,
+        return dict(tapez_lo=zrow, tapez_hi=zrow, wit2=w,
+                    **sys_._tape2_inp(tape2),
                     witz_lo=zwit, witz_hi=zwit)
 
     def exec_step(s, w):

@@ -178,7 +178,8 @@ class Executor:
 
     def __init__(self, cc: CompiledCircuit, mode: int, total_reps: int = 256,
                  mesh=None, carry_in: int = 0, carry_out_vals=None,
-                 carry_inz: int = 0, carry_outz_vals=None):
+                 carry_inz: int = 0, carry_outz_vals=None,
+                 tape_split: bool = False):
         """carry_in/carry_out_vals: streaming-segment wire carry (see
         backend/streaming.py) -- carry_in GF2 arena rows 1..k are initialized
         from inputs carry_mask2/carry_corr2; outputs gain carry_mask2/
@@ -194,6 +195,8 @@ class Executor:
             else np.asarray(carry_out_vals, dtype=np.int32)
         )
         self.carry_inz = carry_inz
+        #: gf2 tape arrives as even/odd slot planes (inputs tape2_e/tape2_o)
+        self.tape_split = tape_split
         self.carry_outz_vals = (
             None if carry_outz_vals is None or len(carry_outz_vals) == 0
             else np.asarray(carry_outz_vals, dtype=np.int32)
@@ -342,7 +345,7 @@ class Executor:
         mode = self.mode
         mask2, corr2 = st["mask2"], st["corr2"]
         if kind == G_INPUT:
-            m = A.take(inp["tape2"], "tape")
+            m = A.take_tape(inp, "tape")
             if mode == PROVER:
                 wit = A.take(inp["wit2"], "wit")
                 corr = wit ^ _parity8(m)
@@ -378,7 +381,7 @@ class Executor:
             b = A.take(mask2, "b")
             ac = A.take(corr2, "a")
             bc = A.take(corr2, "b")
-            m_ab, m_new = A.take_pair(inp["tape2"], "tape_ab", "tape_new")
+            m_ab, m_new = A.take_tape_pair(inp, "tape_ab", "tape_new")
             if mode == VERIFY_ONL:
                 delta = A.take(inp["co2"], "corr")
             else:
@@ -405,7 +408,7 @@ class Executor:
             nonzero = (_parity8(s) ^ ac) != 0
             st["fail"] = st["fail"] | jnp.any(nonzero, axis=0)
         elif kind == G_RANDOM:
-            m = A.take(inp["tape2"], "tape")
+            m = A.take_tape(inp, "tape")
             st["mask2"] = A.put_dst(mask2, m)
         elif kind == G_CONST:
             cbit = A.arr("cbit")
@@ -613,6 +616,71 @@ class _Acc:
                 src, start, start + (k - 1) * step + 1, stride=step, axis=0
             )
         return jnp.take(src, self.tables[self.pre + name], axis=0)
+
+    # -- split-plane tape reads (round 4) ------------------------------
+    # The gf2 tape can arrive pre-split into even/odd slot planes (tape2_e /
+    # tape2_o, slot s -> plane s & 1, row s >> 1), emitted that way for free
+    # inside the AES kernel.  A stride-2 run (every MUL's tape_ab / tape_new)
+    # is then a CONTIGUOUS window of one plane: ~760 GB/s vs the ~146 GB/s
+    # pair-window relayout (tools/r3_exec_ablate.py, round-4 part).  Proof
+    # bytes are unchanged -- this is pure device storage layout.
+
+    def take_tape(self, inp, name: str):
+        if not self.ex.tape_split:
+            return self.take(inp["tape2"], name)
+        e, o = inp["tape2_e"], inp["tape2_o"]
+        kind, *rest = self.ex.meta[self.pre + name]
+        if kind == "const":
+            v, k = rest
+            src = o if (v & 1) else e
+            row = jax.lax.slice_in_dim(src, v >> 1, (v >> 1) + 1, axis=0)
+            return jnp.broadcast_to(row, (k,) + src.shape[1:])
+        if kind == "arith":
+            start, step, k = rest
+            if step == 2 or k == 1:
+                src = o if (start & 1) else e
+                s2 = start >> 1
+                return jax.lax.slice_in_dim(src, s2, s2 + k, axis=0)
+            if step == 1:
+                # mixed parity: read both plane windows, riffle, trim.
+                # Rare (witness INPUT / RANDOM runs); pays one relayout.
+                w0 = start >> 1
+                w1 = (start + k + 1) >> 1
+                we = jax.lax.slice_in_dim(e, w0, w1, axis=0)
+                wo = jax.lax.slice_in_dim(o, w0, w1, axis=0)
+                riff = jnp.stack([we, wo], axis=1).reshape(
+                    2 * (w1 - w0), *e.shape[1:])
+                off = start - 2 * w0
+                return jax.lax.slice_in_dim(riff, off, off + k, axis=0)
+            # other strides: fall through to the gather form
+        idx = self.ex.tables.get(self.pre + name)
+        if idx is None:
+            idx = jnp.asarray(self.ex._np_cols[self.pre + name])
+        ge = jnp.take(e, idx >> 1, axis=0)
+        go = jnp.take(o, idx >> 1, axis=0)
+        par = (idx & 1).astype(jnp.bool_)
+        return jnp.where(par[(...,) + (None,) * (ge.ndim - 1)], go, ge)
+
+    def take_tape_pair(self, inp, name_a: str, name_b: str):
+        if not self.ex.tape_split:
+            return self.take_pair(inp["tape2"], name_a, name_b)
+        ma = self.ex.meta[self.pre + name_a]
+        mb = self.ex.meta[self.pre + name_b]
+        if (
+            ma[0] == "arith" and mb[0] == "arith"
+            and ma[2] == 2 and mb[2] == 2
+            and mb[1] == ma[1] + 1 and ma[3] == mb[3]
+        ):
+            e, o = inp["tape2_e"], inp["tape2_o"]
+            a0, k = ma[1], ma[3]
+            src_a, src_b = (e, o) if (a0 & 1) == 0 else (o, e)
+            sa = a0 >> 1
+            sb = (a0 + 1) >> 1
+            return (
+                jax.lax.slice_in_dim(src_a, sa, sa + k, axis=0),
+                jax.lax.slice_in_dim(src_b, sb, sb + k, axis=0),
+            )
+        return self.take_tape(inp, name_a), self.take_tape(inp, name_b)
 
     def take_pair(self, src, name_a: str, name_b: str):
         """Fused take of two columns that interleave as an arithmetic run of

@@ -507,6 +507,19 @@ class TpuKKW:
 
     SCAN_DEPTH_THRESHOLD = SCAN_DEPTH_THRESHOLD
 
+    @property
+    def _use_tape_split(self):
+        """Split-plane gf2 tape for the levelized executor (Executor.
+        take_tape): ~5x faster MUL tape reads; the scan executor and the
+        multi-process shard_map tape keep the interleaved layout.
+        REVERIE_TAPE_SPLIT=0 restores it everywhere."""
+        import os as _os
+
+        if _os.environ.get("REVERIE_TAPE_SPLIT", "1") in ("", "0"):
+            return False
+        return (self.cc.depth <= self.SCAN_DEPTH_THRESHOLD
+                and not self._multiproc)
+
     def _executor(self, mode: int, R: int):
         key = (mode, R)
         if key not in self._executors:
@@ -518,21 +531,36 @@ class TpuKKW:
                                                     mesh=self.mesh)
             else:
                 self._executors[key] = Executor(self.cc, mode, total_reps=R,
-                                                mesh=self.mesh)
+                                                mesh=self.mesh,
+                                                tape_split=self._use_tape_split)
         return self._executors[key]
 
-    def _gf2_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
+    def _tape2_inp(self, tape2):
+        """Input-dict entries for a gf2 tape in either layout."""
+        if isinstance(tape2, tuple):
+            return {"tape2_e": tape2[0], "tape2_o": tape2[1]}
+        return {"tape2": tape2}
+
+    def _gf2_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray],
+                  split: bool = False):
         """GF2 mask tape via the bitsliced device AES kernel (host AES for
-        tiny tapes, where kernel-launch overhead dominates)."""
+        tiny tapes, where kernel-launch overhead dominates).
+
+        split=True returns (tape_e, tape_o): even/odd slot planes (slot s ->
+        plane s & 1, row s >> 1), emitted pre-split inside the Pallas kernel
+        so the levelized executor's stride-2 MUL tape reads are contiguous
+        plane windows (~5x the read bandwidth of the interleaved form; see
+        Executor.take_tape).  Proof bytes are unchanged."""
         cc = self.cc
         if cc.m2 == 0:
-            return np.zeros((0, player_keys.shape[0]), np.uint8)
+            z = np.zeros((0, player_keys.shape[0]), np.uint8)
+            return (z, z) if split else z
         R = player_keys.shape[0]
         nbytes = ((cc.m2 + BATCH - 1) // BATCH) * GF2_BATCH_BYTES
         nblocks = nbytes // 16
         if cc.m2 < 4096 or (R * 8) % 32 != 0:
             t2, _, _ = build_tapes(player_keys, omit, cc.m2, 0)
-            return t2
+            return (t2[0::2], t2[1::2]) if split else t2
         import jax
         import jax.numpy as jnp
 
@@ -577,7 +605,7 @@ class TpuKKW:
         # the raw 16-byte keys and run the AES key schedule (and counter
         # planes) on device: the (11,16,8,Kw) round-key tensor is 45x larger
         # than the keys and its transfer dominated prove_batch's tape phase.
-        fn_key = ("aes", use_pallas)
+        fn_key = ("aes", use_pallas, split)
         if fn_key not in self._hash_fns:
             if use_pallas and self._multiproc:
                 # GSPMD cannot auto-partition a pallas_call across processes:
@@ -621,15 +649,21 @@ class TpuKKW:
                 def fn(keys, nb, mask):
                     return aes_ctr_tape_gf2_pallas(
                         aj.round_key_planes_device(keys), nb, mask,
-                        interpret=interp,
+                        interpret=interp, split=split,
                     )
             else:
                 def fn(keys, nb, mask):
-                    return aj.aes_ctr_tape_gf2(
+                    t = aj.aes_ctr_tape_gf2(
                         aj.round_key_planes_device(keys),
                         aj.counter_planes_device(nb),
                         mask,
                     )
+                    if split:
+                        # oracle/fallback path: strided row split (slow but
+                        # byte-identical to the kernel's in-kernel routing)
+                        n = t.shape[0]
+                        return t[0:n:2], t[1:n:2]
+                    return t
             kw = {}
             if self._multiproc:
                 # each process builds only its repetition slice of the tape
@@ -650,7 +684,11 @@ class TpuKKW:
         tape = self._hash_fns[fn_key](
             jnp.asarray(keys), nblocks, jnp.asarray(mask)
         )
-        return tape[:, :R] if R_pad != R else tape
+        if R_pad == R:
+            return tape
+        if split:
+            return tape[0][:, :R], tape[1][:, :R]
+        return tape[:, :R]
 
     def _z64_tape(self, player_keys: np.ndarray, omit: Optional[np.ndarray]):
         """Z64 mask tape via the bitsliced device AES kernel (host AES for
@@ -844,7 +882,8 @@ class TpuKKW:
         with timer.phase("expand_seeds"):
             player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
         with timer.phase("tape_gf2"):
-            tape2 = self._gf2_tape(player_keys, None)
+            tape2 = self._gf2_tape(player_keys, None,
+                                   split=self._use_tape_split)
             if profile:
                 import jax
 
@@ -874,11 +913,12 @@ class TpuKKW:
                 )
             bc = self._hash_fns["wit_bcast"]
         inp = dict(
-            tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
+            tapez_lo=tz_lo, tapez_hi=tz_hi,
             # upload one witness column; broadcast to R lanes on device
             wit2=bc(wit2[: cc.n_wit2, None], R),
             witz_lo=bc(wl[:, None], R),
             witz_hi=bc(wh[:, None], R),
+            **self._tape2_inp(tape2),
         )
         if self.mesh is not None:
             from ..parallel.mesh import shard_inputs
@@ -1120,7 +1160,8 @@ class TpuKKW:
         with timer.phase("expand_seeds"):
             player_keys = expand_seeds(seeds.reshape(-1, KEY_SIZE)).reshape(RT, 8, KEY_SIZE)
         with timer.phase("tape_gf2"):
-            tape2 = self._gf2_tape(player_keys, None)
+            tape2 = self._gf2_tape(player_keys, None,
+                                   split=self._use_tape_split)
             if profile:
                 import jax
 
@@ -1160,8 +1201,9 @@ class TpuKKW:
             wit2, wzlo, wzhi = bc(w2c, R), bc(wlc, R), bc(whc, R)
 
         inp = dict(
-            tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi,
+            tapez_lo=tz_lo, tapez_hi=tz_hi,
             wit2=wit2, witz_lo=wzlo, witz_hi=wzhi,
+            **self._tape2_inp(tape2),
         )
         if self.mesh is not None:
             from ..parallel.mesh import shard_inputs
@@ -1336,7 +1378,8 @@ class TpuKKW:
             )
             inj.update(small)
         with timer.phase("onl_tape"):
-            tape2 = self._gf2_tape(player_keys, omit)
+            tape2 = self._gf2_tape(player_keys, omit,
+                                   split=self._use_tape_split)
             tz_lo, tz_hi = self._z64_tape(player_keysz, omitz)
             if _os.environ.get("REVERIE_DEBUG"):
                 # omitted-player tape lanes must be all-zero
@@ -1346,7 +1389,9 @@ class TpuKKW:
                 import jax.numpy as jnp
 
                 bitmask = np.where(omit < 8, 1 << (7 - omit), 0).astype(np.uint8)
-                if int(jnp.any(jnp.asarray(tape2) & bitmask[None, :])):
+                _tplanes = tape2 if isinstance(tape2, tuple) else (tape2,)
+                if any(int(jnp.any(jnp.asarray(t) & bitmask[None, :]))
+                       for t in _tplanes):
                     raise AssertionError(
                         "REVERIE_DEBUG: gf2 tape is nonzero at the omitted "
                         "player's bit lane"
@@ -1366,7 +1411,8 @@ class TpuKKW:
 
                 jax.block_until_ready((tape2, tz_lo))
         with timer.phase("onl_exec"):
-            inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi, **inj)
+            inp = dict(tapez_lo=tz_lo, tapez_hi=tz_hi, **inj,
+                       **self._tape2_inp(tape2))
             if self.mesh is not None:
                 from ..parallel.mesh import shard_inputs
 
@@ -1414,10 +1460,11 @@ class TpuKKW:
         with timer.phase("pre_tape"):
             pk2 = expand_seeds(seeds2).reshape(Rpp, 8, KEY_SIZE)
             pkz = expand_seeds(seedsz).reshape(Rpp, 8, KEY_SIZE)
-            tape2 = self._gf2_tape(pk2, None)
+            tape2 = self._gf2_tape(pk2, None, split=self._use_tape_split)
             tz_lo, tz_hi = self._z64_tape(pkz, None)
         with timer.phase("pre_exec"):
-            inp = dict(tape2=tape2, tapez_lo=tz_lo, tapez_hi=tz_hi)
+            inp = dict(tapez_lo=tz_lo, tapez_hi=tz_hi,
+                       **self._tape2_inp(tape2))
             if self.mesh is not None:
                 from ..parallel.mesh import shard_inputs
 

@@ -126,7 +126,7 @@ def aes_ctr_planes_pallas(rkp, n_blocks: int, tile_b: int = 32, interpret: bool 
 
 
 def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, colsched: bool,
-                     rkp_ref, mask_ref, start_ref, out_ref):
+                     rkp_ref, mask_ref, start_ref, out_ref, out2_ref=None):
     """AES-CTR + tape assembly fused in one kernel.
 
     Extends _aes_kernel by writing the *tape words* directly: output element
@@ -269,6 +269,23 @@ def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, colsched: bool,
         w = ((w & m2_) << 2) | ((w >> 2) & m2_)
         w = ((w & m4) << 4) | ((w >> 4) & m4)
         w = w & mask
+        # split-plane emit (out2_ref set): tape slot b*128 + by*8 + j goes to
+        # the even (j % 2 == 0) or odd plane at word w = by*4 + j//2 -- the
+        # executor's stride-2 MUL tape runs (tape_ab even slots, tape_new
+        # odd) become CONTIGUOUS plane windows, read at ~760 GB/s instead of
+        # the ~146 GB/s pair-window relayout (tools/r3_exec_ablate.py,
+        # round-4 part).  Routing here is free: j is a Python loop index.
+        # The plane's 64 words/block are laid out (8, 8) so the array's
+        # last-two dims tile (8, Kw) -- a (16, 4, Kw) layout would pad the
+        # 4-sublane dim to 8 and double the HBM write bytes (measured
+        # +2.6 ms on the 1M tape).
+        if out2_ref is not None:
+            ref = out_ref if j % 2 == 0 else out2_ref
+            wi = by * 4 + j // 2
+            ixs = (wi // 8, wi % 8)
+        else:
+            ref = out_ref
+            ixs = (by, j)
         if bpr > 1:
             # de-interleave the lane groups in-kernel: block t*bpr + g
             # lives in lanes [g*kwr, (g+1)*kwr); storing block-major here
@@ -276,9 +293,9 @@ def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, colsched: bool,
             # transposes a >= GiB temp whose minor dims pad 16x in HBM
             # at streaming-segment sizes -- 64 GiB alloc at B=32768)
             for g in range(bpr):
-                out_ref[:, g, by, j] = w[:, g * kwr : (g + 1) * kwr]
+                ref[:, g, ixs[0], ixs[1]] = w[:, g * kwr : (g + 1) * kwr]
         else:
-            out_ref[:, by, j] = w
+            ref[:, ixs[0], ixs[1]] = w
 
     if colsched:
         # final round, byte-at-a-time: one S-box live at a time, each output
@@ -302,7 +319,8 @@ def _aes_tape_kernel(tb: int, bpr: int, unroll: bool, colsched: bool,
 def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                             tile_b: int = 32, tile_kw: int = 64,
                             interpret: bool = False, unroll: bool = False,
-                            colsched: bool | None = None):
+                            colsched: bool | None = None,
+                            split: bool = False):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2, fully in-kernel.
     Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple and
     grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
@@ -347,19 +365,25 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
         tile_b //= 2
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     grid = (Bp // tile_b, L // kwt)
+    # split planes hold 64 words/block laid out (8, 8); unsplit 128 as (16, 8)
+    d2, d3 = (8, 8) if split else (16, 8)
     if bpr > 1:
         # block-major output written in-kernel: (t, g, by, j, k) is counter
         # block t*bpr + g, key k -- already row-major tape order, so the
         # tail below is a free reshape (no transpose of a huge temp)
-        out_shape = jax.ShapeDtypeStruct((Bp // bpr, bpr, 16, 8, Kw), jnp.uint32)
-        out_specs = pl.BlockSpec((tile_b // bpr, bpr, 16, 8, Kw),
+        out_shape = jax.ShapeDtypeStruct((Bp // bpr, bpr, d2, d3, Kw),
+                                         jnp.uint32)
+        out_specs = pl.BlockSpec((tile_b // bpr, bpr, d2, d3, Kw),
                                  lambda i, k: (i, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((Bp, 16, 8, L), jnp.uint32)
-        out_specs = pl.BlockSpec((tile_b, 16, 8, kwt),
+        out_shape = jax.ShapeDtypeStruct((Bp, d2, d3, L), jnp.uint32)
+        out_specs = pl.BlockSpec((tile_b, d2, d3, kwt),
                                  lambda i, k: (i, 0, 0, k),
                                  memory_space=pltpu.VMEM)
+    if split:
+        out_shape = (out_shape, out_shape)
+        out_specs = (out_specs, out_specs)
     words = pl.pallas_call(
         functools.partial(_aes_tape_kernel, tile_b, bpr, unroll, colsched),
         out_shape=out_shape,
@@ -374,12 +398,19 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
         interpret=interpret,
         out_specs=out_specs,
     )(rkp, mask2d, jnp.asarray(start_block, jnp.int32).reshape(1))
+
     # contiguous flatten to rows first, then the exact aes_jax byte-split
     # tail (2-D bitcast): bitcasting the 4/5-D form makes XLA's layout pass
     # materialize a transposed padded temp (64 GiB at B=32768)
-    words = words.reshape(Bp * 128, Kw)
-    by = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (Bp*128, Kw, 4)
-    return by.reshape(Bp * 128, Kw * 4)[: B * 128]
+    def _tail(w, rows_per_block):
+        n = Bp * rows_per_block
+        w = w.reshape(n, Kw)
+        by = jax.lax.bitcast_convert_type(w, jnp.uint8)  # (n, Kw, 4)
+        return by.reshape(n, Kw * 4)[: B * rows_per_block]
+
+    if split:
+        return _tail(words[0], 64), _tail(words[1], 64)
+    return _tail(words, 128)
 
 
 def pallas_rep_pad(R: int) -> int:

@@ -29,6 +29,9 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = REP_AXIS) -> Mesh:
 # Which positional axis of each executor input/output is the repetition axis.
 _REP_AXIS_OF = {
     "tape2": 1,
+    # split-plane gf2 tape (even/odd slot planes, backend/tpu.take_tape)
+    "tape2_e": 1,
+    "tape2_o": 1,
     # z64 tapes/recons are player-major (rows, 8, R): rep axis = 2
     "tapez_lo": 2,
     "tapez_hi": 2,

@@ -39,13 +39,16 @@ def measured_bytes(sys_: TpuKKW) -> int:
         + 2 * carry_arena(cc.n_valsz, R, dtype=np.uint32).nbytes
     )
     ex = sys_._executor(PROVER, R)
+    t2_inp = sys_._tape2_inp(
+        (t2[0::2], t2[1::2]) if getattr(ex, "tape_split", False) else t2
+    )
     inp = dict(
-        tape2=t2,
         tapez_lo=tzlo,
         tapez_hi=tzhi,
         wit2=np.zeros((cc.n_wit2, R), np.uint8),
         witz_lo=np.zeros((cc.n_witz, R), np.uint32),
         witz_hi=np.zeros((cc.n_witz, R), np.uint32),
+        **t2_inp,
     )
     out = ex(inp)
     streams = sum(int(out[k].nbytes) for k in ("onl2", "pre2", "onlz", "prez"))

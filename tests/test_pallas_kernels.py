@@ -53,6 +53,24 @@ def test_pallas_tape_matches_host_golden(n_blocks, R):
     np.testing.assert_array_equal(tape, golden)
 
 
+def test_pallas_tape_split_planes_match_host_golden():
+    """split=True emits even/odd slot planes (slot s -> plane s & 1, row
+    s >> 1) byte-identical to the interleaved tape (Executor.take_tape reads
+    this layout; routing is in-kernel, backend-layout-only -- proof bytes
+    unchanged).  Covers the bpr=2 production lane config and a bpr=4 one."""
+    for n_blocks, R in ((8, 128), (16, 256)):
+        pk = _keys(R)
+        rkp = aj.round_key_planes(pk.reshape(-1, 16))
+        mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+        m2 = n_blocks * 128
+        golden, _, _ = build_tapes(pk, None, m2, 0)
+        e, o = aes_ctr_tape_gf2_pallas(rkp, n_blocks, mask, tile_b=16,
+                                       interpret=True, split=True)
+        np.testing.assert_array_equal(np.asarray(e)[: (m2 + 1) // 2],
+                                      golden[0::2])
+        np.testing.assert_array_equal(np.asarray(o)[: m2 // 2], golden[1::2])
+
+
 def test_pallas_tape_rep_padding_contract():
     """The verifier rep-count path (tpu_host._gf2_tape): keys zero-padded to
     pallas_rep_pad(R) lanes, kernel run at the padded count, tape sliced back

@@ -222,3 +222,41 @@ if __name__ == "__main__":
     piece("contig_read+xor", contig_read, 3 * K * R)
     piece("p8(1 input)", p8_cost, 2 * K * R)
     piece("full_body_pair(1 DUS)", full_pair_body, 3 * K * R)
+
+
+# ---- round-4: split-plane tape reads (even/odd slot planes) -------------
+def full_split_body(t, d, s):
+    """G_MUL body with the tape pre-split into even/odd slot planes: the
+    ab run (even slots) and new run (odd slots) are CONTIGUOUS windows --
+    no reshape/lane-split relayout."""
+    m_ab = jax.lax.slice_in_dim(t, 1, 1 + K, axis=0) ^ s.astype(U8)
+    m_new = jax.lax.slice_in_dim(t, K + 2, 2 * K + 2, axis=0)
+    a = jnp.broadcast_to(t[0:1], (K, R))
+    b = jnp.broadcast_to(t[1:2], (K, R))
+    ac = a & jnp.uint8(1)
+    bc = b & jnp.uint8(1)
+    delta = (p8_u8(a) & p8_u8(b)) ^ p8_u8(m_ab)
+    s_ = (b & exp_u8(ac)) ^ (a & exp_u8(bc)) ^ m_ab ^ m_new
+    recon = p8_u8(s_) ^ delta
+    return recon ^ (ac & bc) ^ d * jnp.uint8(0)
+
+
+def full_split_2dus(t, d, s):
+    """Same + both stream writes (pre2 via delta-expand, onl2 via s) packed
+    into the returned buffer halves -- models the real write traffic."""
+    m_ab = jax.lax.slice_in_dim(t, 1, 1 + K, axis=0) ^ s.astype(U8)
+    m_new = jax.lax.slice_in_dim(t, K + 2, 2 * K + 2, axis=0)
+    a = jnp.broadcast_to(t[0:1], (K, R))
+    b = jnp.broadcast_to(t[1:2], (K, R))
+    ac = a & jnp.uint8(1)
+    bc = b & jnp.uint8(1)
+    delta = (p8_u8(a) & p8_u8(b)) ^ p8_u8(m_ab)
+    s_ = (b & exp_u8(ac)) ^ (a & exp_u8(bc)) ^ m_ab ^ m_new
+    out = jnp.concatenate([exp_u8(delta), s_], axis=0)  # pre2 | onl2
+    return out[:K] ^ out[K:] ^ d * jnp.uint8(0)
+
+
+if __name__ == "__main__" and "split" in sys.argv[1:]:
+    print("---- round-4 split-plane ----")
+    piece("full_body_split(1 DUS)", full_split_body, 3 * K * R)
+    piece("full_body_split+2w", full_split_2dus, 5 * K * R)

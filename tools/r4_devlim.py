@@ -90,14 +90,16 @@ def main(n_gates=1_000_000):
     d_triv = slope(triv, jnp.uint32(0), 2, 18)
     print(f"dispatch floor (trivial op): {d_triv*1e3:.2f} ms/call", flush=True)
 
-    # --- tape ---
+    # --- tape --- (split-plane emit when production uses it)
+    _split = sys_._use_tape_split
+
     @jax.jit
     def tape_step(s):
         k = keys_d ^ (s & jnp.uint32(0xFF)).astype(jnp.uint8)
         t = aes_ctr_tape_gf2_pallas(
-            aj.round_key_planes_device(k), nblocks, mask_d
+            aj.round_key_planes_device(k), nblocks, mask_d, split=_split
         )
-        return _ck(t)
+        return _ck(*t) if _split else _ck(t)
 
     d_tape = slope(tape_step, jnp.uint32(0))
     print(f"tape:    {d_tape*1e3:7.1f} ms", flush=True)
@@ -110,7 +112,8 @@ def main(n_gates=1_000_000):
     # already forces full materialization of every phase output, so the tiny
     # fold cannot DCE phase work; the perturb/fold dispatches cost the
     # ~0.16 ms floor each.
-    tape2 = sys_._gf2_tape(pk.reshape(R, 8, 16), None)
+    tape2 = sys_._gf2_tape(pk.reshape(R, 8, 16), None,
+                           split=sys_._use_tape_split)
     ex = sys_._executor(PROVER, R)
 
     perturb = jax.jit(
@@ -138,7 +141,8 @@ def main(n_gates=1_000_000):
 
     def exec_step(s, w):
         w = perturb(w, s)
-        out = ex(dict(tape2=tape2, tapez_lo=zrow, tapez_hi=zrow, wit2=w,
+        out = ex(dict(tapez_lo=zrow, tapez_hi=zrow, wit2=w,
+                      **sys_._tape2_inp(tape2),
                       witz_lo=zwit, witz_hi=zwit))
         return fold(out["onl2"]), w
 
@@ -146,7 +150,8 @@ def main(n_gates=1_000_000):
     print(f"execute: {d_exec*1e3:7.1f} ms", flush=True)
 
     # --- hash ---
-    out0 = dict(ex(dict(tape2=tape2, tapez_lo=zrow, tapez_hi=zrow,
+    out0 = dict(ex(dict(tapez_lo=zrow, tapez_hi=zrow,
+                        **sys_._tape2_inp(tape2),
                         wit2=jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R,
                                                    axis=1)),
                         witz_lo=zwit, witz_hi=zwit)))
@@ -205,7 +210,7 @@ def main_z64(n_muls=50_000):
     rng = np.random.default_rng(3)
     seeds = rng.integers(0, 256, (R, 16), dtype=np.uint8)
     pk = expand_seeds(seeds).reshape(R, 8, 16)
-    tape2 = sys_._gf2_tape(pk, None)
+    tape2 = sys_._gf2_tape(pk, None, split=sys_._use_tape_split)
     tzlo, tzhi = sys_._z64_tape(pk, None)
     wlo = np.asarray([w & 0xFFFFFFFF for w in wz], np.uint32)
     whi = np.asarray([(w >> 32) & 0xFFFFFFFF for w in wz], np.uint32)
@@ -238,7 +243,8 @@ def main_z64(n_muls=50_000):
 
     def exec_step(s, w):
         w = perturb(w, s)
-        out = ex(dict(tape2=tape2, tapez_lo=tzlo, tapez_hi=tzhi, wit2=wit2_d,
+        out = ex(dict(tapez_lo=tzlo, tapez_hi=tzhi, wit2=wit2_d,
+                      **sys_._tape2_inp(tape2),
                       witz_lo=w, witz_hi=whi_d))
         return fold(out["onlz"]), w
 
@@ -249,7 +255,8 @@ def main_z64(n_muls=50_000):
     # tape + hash for the full device picture
     def hash_step(s, o):
         o = perturb(o, s)
-        out0_ = ex(dict(tape2=tape2, tapez_lo=tzlo, tapez_hi=tzhi,
+        out0_ = ex(dict(tapez_lo=tzlo, tapez_hi=tzhi,
+                        **sys_._tape2_inp(tape2),
                         wit2=wit2_d, witz_lo=o, witz_hi=whi_d))
         return fold(out0_["onlz"]), o
 
