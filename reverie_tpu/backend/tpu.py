@@ -288,18 +288,60 @@ class Executor:
         return self._run(dict(inputs), self.tables)
 
     # ------------------------------------------------------------------
+    def _arena_rows(self):
+        """Tight arena row bounds: 1 + the highest row any gate READS or
+        (live) WRITES.  The value-numbering spans n_vals rows, but when a
+        circuit's dst writes are dead (DVE) the tail rows are never touched
+        -- allocating them only zero-fills HBM.  The reference bench circuit
+        (every MUL output overwritten unread) reads 3 arena rows; the full
+        (n_vals2, R) zero-init was ~0.5 GB of pure write traffic per
+        executor call at 1M gates.  Streams/proof bytes are unchanged."""
+        cc = self.cc
+        hi2 = 0
+        hiz = 0
+        for li, table in enumerate(cc.levels):
+            for key, cols in table.items():
+                domain, _kind = divmod(key, N_KINDS)
+                rd = ["a", "b"] if domain == GF2 else ["a", "b", "zr"]
+                for nm in rd:
+                    if nm in cols and len(cols[nm]):
+                        m = int(np.max(cols[nm]))
+                        if domain == GF2:
+                            hi2 = max(hi2, m)
+                        else:
+                            hiz = max(hiz, m)
+                if "zr" in cols and len(cols["zr"]):
+                    hiz = max(hiz, int(np.max(cols["zr"])))
+                if "bits" in cols and len(np.asarray(cols["bits"]).reshape(-1)):
+                    hi2 = max(hi2, int(np.max(cols["bits"])))
+                if "dst" in cols and len(cols["dst"]) and not self._dead.get(
+                        (li, key), False):
+                    m = int(np.max(cols["dst"]))
+                    if domain == GF2:
+                        hi2 = max(hi2, m)
+                    else:
+                        hiz = max(hiz, m)
+        if self.carry_out_vals is not None and len(self.carry_out_vals):
+            hi2 = max(hi2, int(np.max(self.carry_out_vals)))
+        if self.carry_outz_vals is not None and len(self.carry_outz_vals):
+            hiz = max(hiz, int(np.max(self.carry_outz_vals)))
+        L2 = min(self.cc.n_vals2, max(hi2 + 1, 1 + self.carry_in))
+        Lz = min(self.cc.n_valsz, max(hiz + 1, 1 + self.carry_inz))
+        return L2, Lz
+
     def _trace(self, inp, tables):
         cc, R = self.cc, self.R
+        L2, Lz = self._arena_rows()
         c2 = inp if self.carry_in else {}
-        mask2_init = carry_arena(cc.n_vals2, R, c2.get("carry_mask2"))
-        corr2_init = carry_arena(cc.n_vals2, R, c2.get("carry_corr2"))
+        mask2_init = carry_arena(L2, R, c2.get("carry_mask2"))
+        corr2_init = carry_arena(L2, R, c2.get("carry_corr2"))
         cz = inp if self.carry_inz else {}
-        mzlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzlo"), (), U32,
+        mzlo_init = carry_arena(Lz, R, cz.get("carry_mzlo"), (), U32,
                                 lead=(8,))
-        mzhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_mzhi"), (), U32,
+        mzhi_init = carry_arena(Lz, R, cz.get("carry_mzhi"), (), U32,
                                 lead=(8,))
-        czlo_init = carry_arena(cc.n_valsz, R, cz.get("carry_czlo"), (), U32)
-        czhi_init = carry_arena(cc.n_valsz, R, cz.get("carry_czhi"), (), U32)
+        czlo_init = carry_arena(Lz, R, cz.get("carry_czlo"), (), U32)
+        czhi_init = carry_arena(Lz, R, cz.get("carry_czhi"), (), U32)
         st = dict(
             mask2=mask2_init,
             corr2=corr2_init,
@@ -307,12 +349,16 @@ class Executor:
             mzhi=mzhi_init,
             czlo=czlo_init,
             czhi=czhi_init,
-            onl2=jnp.zeros((max(cc.onl2, 1), R), dtype=U8),
-            pre2=jnp.zeros((max(cc.pre2, 1), R), dtype=U8),
-            onlz=jnp.zeros((max(cc.onlz, 1), R), dtype=U8),
-            prez=jnp.zeros((max(cc.prez, 1), R), dtype=U8),
             fail=jnp.zeros((R,), dtype=jnp.bool_),
         )
+        # stream buffers are assembled at the end of the trace: when a
+        # stream's put windows exactly tile [0, N) as contiguous runs (the
+        # common compiled layout), one concatenate replaces zeros + DUS --
+        # at 1M gates the zeros(onl2)+zeros(pre2) init alone was ~0.75 GB
+        # of HBM writes immediately overwritten.  Order-preserving DUS
+        # replay is the fallback, so bytes are identical either way.
+        pending = {"onl2": [], "pre2": [], "onlz": [], "prez": []}
+        st["_pending"] = pending
         for li, table in enumerate(cc.levels):
             for key in sorted(table.keys()):
                 domain, kind = divmod(key, N_KINDS)
@@ -321,13 +367,11 @@ class Executor:
                     self._gf2_kind(st, inp, kind, acc)
                 else:
                     self._z64_kind(st, inp, kind, acc)
-        out = {
-            "onl2": st["onl2"],
-            "pre2": st["pre2"],
-            "onlz": st["onlz"],
-            "prez": st["prez"],
-            "fail": st["fail"],
-        }
+        sizes = {"onl2": cc.onl2, "pre2": cc.pre2,
+                 "onlz": cc.onlz, "prez": cc.prez}
+        out = {"fail": st["fail"]}
+        for name, parts in st["_pending"].items():
+            out[name] = _assemble_stream(parts, sizes[name], R)
         if self.carry_out_vals is not None:
             vals = tables["carry_out_vals"]
             out["carry_mask2"] = jnp.take(st["mask2"], vals, axis=0)
@@ -354,7 +398,7 @@ class Executor:
             else:
                 corr = jnp.zeros_like(m)
             if mode != VERIFY_PRE:
-                st["onl2"] = A.put(st["onl2"], "onl", _expand(corr))
+                A.put_stream(st, "onl2", "onl", _expand(corr))
             st["mask2"] = A.put_dst(mask2, m)
             st["corr2"] = A.put_dst(corr2, corr)
         elif kind == G_ADD:
@@ -386,12 +430,12 @@ class Executor:
                 delta = A.take(inp["co2"], "corr")
             else:
                 delta = (_parity8(a) & _parity8(b)) ^ _parity8(m_ab)
-            st["pre2"] = A.put(st["pre2"], "pre", _expand(delta))
+            A.put_stream(st, "pre2", "pre", _expand(delta))
             s = (b & _expand(ac)) ^ (a & _expand(bc)) ^ m_ab ^ m_new
             if mode == VERIFY_ONL:
                 s = s ^ A.take(inp["re2"], "rec")
             if mode != VERIFY_PRE:
-                st["onl2"] = A.put(st["onl2"], "onl", s)
+                A.put_stream(st, "onl2", "onl", s)
                 recon = _parity8(s) ^ delta
             else:
                 recon = jnp.zeros_like(s)  # junk (verifier/preprocess.rs:63-65)
@@ -404,7 +448,7 @@ class Executor:
             ac = A.take(corr2, "a")
             if mode == VERIFY_ONL:
                 s = s ^ A.take(inp["re2"], "rec")
-            st["onl2"] = A.put(st["onl2"], "onl", s)
+            A.put_stream(st, "onl2", "onl", s)
             nonzero = (_parity8(s) ^ ac) != 0
             st["fail"] = st["fail"] | jnp.any(nonzero, axis=0)
         elif kind == G_RANDOM:
@@ -447,7 +491,7 @@ class Executor:
 
         def emit_corr_bytes(buf_name, lo, hi):
             by = jnp.stack(up.le_bytes(lo, hi), axis=1)  # (k, 8, R)
-            st[buf_name] = A.put(st[buf_name], "pre_rows", by.reshape(-1, self.R))
+            A.put_stream(st, buf_name, "pre_rows", by.reshape(-1, self.R))
 
         if kind == G_INPUT:
             lo, hi = tape_row("tape")
@@ -464,7 +508,7 @@ class Executor:
                 chi = jnp.zeros_like(rhi)
             if mode != VERIFY_PRE:
                 by = jnp.stack(up.le_bytes(clo, chi), axis=1)
-                st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
+                A.put_stream(st, "onlz", "onl_rows", by.reshape(-1, self.R))
             put_mask(lo, hi)
             put_corr(clo, chi)
         elif kind in (G_ADD, Z_SUB):
@@ -525,7 +569,7 @@ class Executor:
                 # (was a (k, R, 8, 8) -> (k, 8, 8, R) moveaxis per level,
                 # the measured z64 execute bottleneck, BASELINE round 3)
                 by = jnp.stack(up.le_bytes(slo, shi), axis=2)  # (k, 8p, 8b, R)
-                st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
+                A.put_stream(st, "onlz", "onl_rows", by.reshape(-1, self.R))
                 srlo, srhi = _recon_sum(slo, shi)
                 relo, rehi = up.add64(srlo, srhi, dlo, dhi)
             else:
@@ -545,7 +589,7 @@ class Executor:
                     slo, shi, A.take(inp["rez_lo"], "rec"), A.take(inp["rez_hi"], "rec")
                 )
             by = jnp.stack(up.le_bytes(slo, shi), axis=2)  # (k, 8p, 8b, R)
-            st["onlz"] = A.put(st["onlz"], "onl_rows", by.reshape(-1, self.R))
+            A.put_stream(st, "onlz", "onl_rows", by.reshape(-1, self.R))
             rlo, rhi = _recon_sum(slo, shi)
             vlo, vhi = up.add64(rlo, rhi, aclo, achi)
             st["fail"] = st["fail"] | jnp.any((vlo | vhi) != 0, axis=0)
@@ -575,7 +619,7 @@ class Executor:
             if mode == VERIFY_ONL:
                 s = s ^ jnp.take(inp["re2"], A.arr("rec_rows"), axis=0)
             if mode != VERIFY_PRE:
-                st["onl2"] = A.put(st["onl2"], "onl_rows", s.reshape(-1, self.R))
+                A.put_stream(st, "onl2", "onl_rows", s.reshape(-1, self.R))
                 bits = _parity8(s) ^ bc
             else:
                 bits = bc  # junk: recon is zero in preprocess mode
@@ -588,6 +632,42 @@ class Executor:
             put_corr(clo, chi)
         else:
             raise ValueError(f"bad z64 kind {kind}")
+
+
+def _assemble_stream(parts, n_rows: int, R: int):
+    """parts: [(acc, colname, vals)] in trace order.  Concatenate when the
+    arith-step-1 put windows exactly tile [0, n_rows); otherwise zeros +
+    ordered put replay (byte-identical semantics)."""
+    if n_rows == 0 or not parts:
+        return jnp.zeros((max(n_rows, 1), R), dtype=U8)
+    runs = []
+    ok = True
+    for acc, name, vals in parts:
+        kind, *rest = acc.ex.meta[acc.pre + name]
+        if kind == "arith" and rest[1] == 1:
+            runs.append((rest[0], rest[2], vals))
+        elif kind == "const" and rest[1] == 1:
+            runs.append((rest[0], 1, vals))
+        else:
+            ok = False
+            break
+    if ok:
+        runs.sort(key=lambda t: t[0])
+        pos = 0
+        for start, k, _ in runs:
+            if start != pos:
+                ok = False
+                break
+            pos += k
+        ok = ok and pos == n_rows
+    if ok:
+        if len(runs) == 1:
+            return runs[0][2]
+        return jnp.concatenate([v for _, _, v in runs], axis=0)
+    buf = jnp.zeros((n_rows, R), dtype=U8)
+    for acc, name, vals in parts:
+        buf = acc.put(buf, name, vals)
+    return buf
 
 
 class _Acc:
@@ -681,6 +761,11 @@ class _Acc:
                 jax.lax.slice_in_dim(src_b, sb, sb + k, axis=0),
             )
         return self.take_tape(inp, name_a), self.take_tape(inp, name_b)
+
+    def put_stream(self, st, buf_name: str, name: str, vals):
+        """Deferred stream write: parts are recorded in trace order and
+        assembled once at the end of the trace (_assemble_stream)."""
+        st["_pending"][buf_name].append((self, name, vals))
 
     def take_pair(self, src, name_a: str, name_b: str):
         """Fused take of two columns that interleave as an arithmetic run of

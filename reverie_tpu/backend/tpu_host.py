@@ -282,8 +282,11 @@ def make_gf2_extractor(cc: CompiledCircuit, out_sharding=None):
             onehot = (jax.nn.one_hot(cols, onl2.shape[1], dtype=jnp.int8)
                       .T)  # (R, K)
             def sel(buf):
+                # i8 accumulation is exact here (one-hot columns: exactly
+                # one product per output) and keeps the (n, K) intermediate
+                # 4x smaller than an i32 dot output
                 picked = jax.lax.dot(buf.astype(jnp.int8), onehot,
-                                     preferred_element_type=jnp.int32)
+                                     preferred_element_type=jnp.int8)
                 return picked.astype(jnp.uint8)  # (n, K)
             onl_sel = sel(onl2)
             pre_sel = sel(pre2)
