@@ -214,39 +214,59 @@ def _device_limited_bench(sys_, wit2) -> dict:
 
     t = {}
 
-    # --- tape (production AES jit, keys device-resident) ---
-    tape_fn = sys_._hash_fns.get(("aes", True)) or sys_._hash_fns[
-        ("aes", False)]
-    nblocks = ((cc.m2 + 127) // 128) * 16 // 16
-    mask_d = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
-
-    def tape_step(s, k):
-        k = perturb(k, s)
-        return fold(tape_fn(k, nblocks, mask_d)), k
-
-    t["tape"] = host_slope(tape_step, jnp.asarray(pk.reshape(-1, 16)))
-
-    # --- execute ---
-    tape2 = sys_._gf2_tape(pk, None, split=sys_._use_tape_split)
+    # --- tape + execute (the production path fuses them into ONE jit when
+    # eligible -- the AES tail then never materializes the u8 planes, so
+    # separate phase numbers would overstate; measure what prove runs) ---
     zrow = jnp.zeros((0, 8, R), jnp.uint32)
     zwit = jnp.zeros((0, R), jnp.uint32)
     wit2_d = jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R, axis=1))
     ex = sys_._executor(PROVER, R)
+    fused = sys_._fused_prove_fn(R)
+    nblocks = ((cc.m2 + 127) // 128) * 16 // 16
+    mask_d = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
+    keys_d = jnp.asarray(pk.reshape(-1, 16))
 
-    def mkinp(w):
-        return dict(tapez_lo=zrow, tapez_hi=zrow, wit2=w,
-                    **sys_._tape2_inp(tape2),
-                    witz_lo=zwit, witz_hi=zwit)
+    if fused is not None:
+        fjit, fex = fused
 
-    def exec_step(s, w):
-        w = perturb(w, s)
-        return fold(ex(mkinp(w))["onl2"]), w
+        def fused_step(s, w):
+            w = perturb(w, s)
+            out = fjit(keys_d, mask_d, w, zwit, zwit, zrow, zrow, fex.tables)
+            return fold(out["onl2"]), w
 
-    t["execute"] = host_slope(exec_step, wit2_d)
+        t["tape_execute"] = host_slope(fused_step, wit2_d)
+        out0 = dict(fjit(keys_d, mask_d,
+                         jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R,
+                                               axis=1)),
+                         zwit, zwit, zrow, zrow, fex.tables))
+    else:
+        _split = sys_._use_tape_split
+        tape_fn = (sys_._hash_fns.get(("aes", True, _split))
+                   or sys_._hash_fns.get(("aes", False, _split))
+                   or sys_._hash_fns[next(k for k in sys_._hash_fns
+                                          if k[0] == "aes")])
 
-    # --- hash ---
-    out0 = dict(ex(mkinp(jnp.asarray(
-        np.repeat(w2[: cc.n_wit2, None], R, axis=1)))))
+        def tape_step(s, k):
+            k = perturb(k, s)
+            out = tape_fn(k, nblocks, mask_d)
+            return fold(out[0] if isinstance(out, tuple) else out), k
+
+        t["tape"] = host_slope(tape_step, keys_d)
+
+        tape2 = sys_._gf2_tape(pk, None, split=_split)
+
+        def mkinp(w):
+            return dict(tapez_lo=zrow, tapez_hi=zrow, wit2=w,
+                        **sys_._tape2_inp(tape2),
+                        witz_lo=zwit, witz_hi=zwit)
+
+        def exec_step(s, w):
+            w = perturb(w, s)
+            return fold(ex(mkinp(w))["onl2"]), w
+
+        t["execute"] = host_slope(exec_step, wit2_d)
+        out0 = dict(ex(mkinp(jnp.asarray(
+            np.repeat(w2[: cc.n_wit2, None], R, axis=1)))))
     hfn = sys_._hash_fn(False)
 
     def hash_step(s, o):

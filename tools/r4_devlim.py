@@ -90,16 +90,27 @@ def main(n_gates=1_000_000):
     d_triv = slope(triv, jnp.uint32(0), 2, 18)
     print(f"dispatch floor (trivial op): {d_triv*1e3:.2f} ms/call", flush=True)
 
-    # --- tape --- (split-plane emit when production uses it)
+    # --- tape --- (split-plane emit when production uses it).  The tape jit
+    # materializes its outputs at the jit boundary; the chain scalar comes
+    # from a TINY fold so the measurement does not add a full checksum read
+    # pass the production prove never pays (the in-jit _ck form overstated
+    # the phase by ~2 ms at 1M).
     _split = sys_._use_tape_split
 
     @jax.jit
-    def tape_step(s):
+    def tape_jit(s):
         k = keys_d ^ (s & jnp.uint32(0xFF)).astype(jnp.uint8)
-        t = aes_ctr_tape_gf2_pallas(
+        return aes_ctr_tape_gf2_pallas(
             aj.round_key_planes_device(k), nblocks, mask_d, split=_split
         )
-        return _ck(*t) if _split else _ck(t)
+
+    tfold = jax.jit(
+        lambda t: (t[0].reshape(-1)[0].astype(U32)
+                   + t[1].reshape(-1)[0].astype(U32)) if _split
+        else t.reshape(-1)[0].astype(U32))
+
+    def tape_step(s):
+        return tfold(tape_jit(s))
 
     d_tape = slope(tape_step, jnp.uint32(0))
     print(f"tape:    {d_tape*1e3:7.1f} ms", flush=True)
