@@ -278,7 +278,11 @@ def make_gf2_extractor(cc: CompiledCircuit, out_sharding=None):
         # row back out; r4 probe: 4.6 vs 7.5 ms at the 1M shape).
         # REVERIE_EXTRACT_MM=0 restores the gather form.
         K = cols.shape[0]
-        if use_mm:
+        # The MXU select wins at single-proof shapes (R=256, K=40) but the
+        # (R, K) one-hot matmul grows quadratically with batch size (R=N*256,
+        # K=N*40 -> TMAC-scale work at N=64); batched extraction keeps the
+        # lane gather.
+        if use_mm and onl2.shape[1] <= 512:
             onehot = (jax.nn.one_hot(cols, onl2.shape[1], dtype=jnp.int8)
                       .T)  # (R, K)
             def sel(buf):
