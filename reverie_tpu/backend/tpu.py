@@ -733,7 +733,9 @@ class _Acc:
                 off = start - 2 * w0
                 return jax.lax.slice_in_dim(riff, off, off + k, axis=0)
             # other strides: fall through to the gather form
-        idx = self.ex.tables.get(self.pre + name)
+        idx = self.tables.get(self.pre + name)
+        if idx is None:
+            idx = self.ex.tables.get(self.pre + name)
         if idx is None:
             idx = jnp.asarray(self.ex._np_cols[self.pre + name])
         ge = jnp.take(e, idx >> 1, axis=0)

@@ -567,7 +567,17 @@ class TpuKKW:
         nblocks = nbytes // 16
         if cc.m2 < 4096 or (R * 8) % 32 != 0:
             t2, _, _ = build_tapes(player_keys, omit, cc.m2, 0)
-            return (t2[0::2], t2[1::2]) if split else t2
+            if split:
+                # pad to an even slot count so both planes have equal rows:
+                # take_tape's mixed-parity window ((start+k+1)>>1) may read
+                # one row past floor(m2/2) on the odd plane (the device
+                # kernels are 128-slot aligned and never hit this)
+                if t2.shape[0] & 1:
+                    t2 = np.concatenate(
+                        [t2, np.zeros((1, t2.shape[1]), np.uint8)]
+                    )
+                return t2[0::2], t2[1::2]
+            return t2
         import jax
         import jax.numpy as jnp
 
@@ -638,16 +648,20 @@ class TpuKKW:
                     def shard_fn(k, m):
                         return aes_ctr_tape_gf2_pallas(
                             aj.round_key_planes_device(k), nb, m,
-                            interpret=interp,
+                            interpret=interp, split=split,
                         )
 
                     # check_vma=False: pallas_call out_shapes carry no vma
                     # annotation (per-shard outputs are trivially varying
                     # over the rep axis)
+                    out_spec = (
+                        (_P(None, rep), _P(None, rep)) if split
+                        else _P(None, rep)
+                    )
                     return _smap(
                         shard_fn, mesh=mesh,
                         in_specs=(_P(rep), _P(rep)),
-                        out_specs=_P(None, rep),
+                        out_specs=out_spec,
                         check_vma=False,
                     )(keys, mask)
             elif use_pallas:
@@ -674,7 +688,8 @@ class TpuKKW:
             kw = {}
             if self._multiproc:
                 # each process builds only its repetition slice of the tape
-                kw["out_shardings"] = self._sh(None, self._rep_axis_name())
+                sh = self._sh(None, self._rep_axis_name())
+                kw["out_shardings"] = (sh, sh) if split else sh
             self._hash_fns[fn_key] = jax.jit(fn, static_argnums=(1,), **kw)
         if omit is None:
             mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
@@ -870,14 +885,20 @@ class TpuKKW:
         512 MB u8 planes to HBM (measured ~3.6 ms at the 1M shape, byte-
         identical).  Returns None when the configuration can't fuse."""
         import jax
-
-        cc = self.cc
-        if (not self._use_tape_split or self.mesh is not None
-                or jax.default_backend() != "tpu" or cc.m2 < 4096
-                or (R * 8) % 32 != 0):
-            return None
         import os as _os
 
+        cc = self.cc
+        # REVERIE_PALLAS_INTERPRET=1 runs the fused jit with the Pallas
+        # kernel in interpret mode on non-TPU backends, so CI covers the
+        # production fused path byte-exactly without hardware
+        interp = bool(_os.environ.get("REVERIE_PALLAS_INTERPRET")) and (
+            jax.default_backend() != "tpu"
+        )
+        if (not self._use_tape_split or self.mesh is not None
+                or (jax.default_backend() != "tpu" and not interp)
+                or cc.m2 < 4096
+                or (R * 8) % 32 != 0):
+            return None
         from ..crypto.kernels.aes_pallas import pallas_rep_pad
 
         nblocks = ((cc.m2 + BATCH - 1) // BATCH) * GF2_BATCH_BYTES // 16
@@ -896,7 +917,7 @@ class TpuKKW:
             def fn(keys, mask, wit2, wzlo, wzhi, tzlo, tzhi, tables):
                 tape = aes_ctr_tape_gf2_pallas(
                     aj.round_key_planes_device(keys), nblocks, mask,
-                    split=True,
+                    split=True, interpret=interp,
                 )
                 inp = dict(tapez_lo=tzlo, tapez_hi=tzhi, wit2=wit2,
                            witz_lo=wzlo, witz_hi=wzhi,

@@ -446,3 +446,59 @@ def test_degenerate_programs(name, mk):
     assert proof.to_bytes() == cpu_proof.to_bytes()
     assert sys_.verify(proof)
     assert cpu_verify(proof, prog)
+
+
+def test_odd_m2_tape_split_roundtrip():
+    """Regression (round-5): odd m2 with the split-plane tape crashed at
+    trace time -- take_tape's mixed-parity window read one row past the odd
+    plane on host-split tapes (ADVICE r4 high).  The host split now pads to
+    an even slot count; proof bytes must still match the golden backend."""
+    prog = [
+        CombineOp.gf2(Gate(Op.INPUT, dst=0)),
+        CombineOp.gf2(Gate(Op.INPUT, dst=1)),
+        CombineOp.gf2(Gate(Op.INPUT, dst=2)),
+        CombineOp.gf2(Gate(Op.ADD, dst=3, src1=0, src2=1)),
+        CombineOp.gf2(Gate(Op.ADD, dst=4, src1=3, src2=2)),
+        CombineOp.gf2(Gate(Op.ASSERT_ZERO, src1=4)),
+    ]
+    s = seeds256()
+    sys_ = TpuKKW(prog)
+    assert sys_.cc.m2 % 2 == 1 and sys_._use_tape_split
+    proof = sys_.prove([True, True, False], [], seeds=s)
+    gold = cpu_prove(prog, [True, True, False], [], seeds=s.reshape(32, 8, 16))
+    assert proof.to_bytes() == gold.to_bytes()
+    assert sys_.verify(proof)
+    assert cpu_verify(proof, prog)
+
+
+@pytest.mark.slow
+def test_device_aes_tape_verify_roundtrip():
+    """Slow-tier integration: a proof built from the device-AES tape path
+    (m2 > 4096) must verify -- covers the device-tape -> verify integration
+    off-hardware (ADVICE r4: the default-tier variant stops at prove)."""
+    prog, wit2, witz = mul_bench_circuit(2500)
+    sys_ = TpuKKW(prog)
+    proof = sys_.prove(wit2, witz, seeds=seeds256())
+    assert sys_.verify(proof)
+
+
+@pytest.mark.slow
+def test_fused_prove_interpret_matches_golden():
+    """Slow-tier: the production fused tape+execute jit (one jit for the
+    Pallas AES kernel + levelized executor) runs under Pallas interpret mode
+    on CPU and must be byte-identical to the golden backend.  On hardware
+    the same path is covered by the HW golden battery."""
+    import os
+
+    prog, wit2, witz = mul_bench_circuit(2500)  # m2 = 5002 > 4096
+    s = seeds256()
+    os.environ["REVERIE_PALLAS_INTERPRET"] = "1"
+    try:
+        sys_ = TpuKKW(prog)
+        fused = sys_._fused_prove_fn(256)
+        assert fused is not None, "fused path did not build under interpret"
+        proof = sys_.prove(wit2, witz, seeds=s)
+    finally:
+        os.environ.pop("REVERIE_PALLAS_INTERPRET", None)
+    gold = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
+    assert proof.to_bytes() == gold.to_bytes()
