@@ -622,7 +622,16 @@ class TpuKKW:
         # the raw 16-byte keys and run the AES key schedule (and counter
         # planes) on device: the (11,16,8,Kw) round-key tensor is 45x larger
         # than the keys and its transfer dominated prove_batch's tape phase.
-        fn_key = ("aes", use_pallas, split)
+        # u8 relayout tail (round 5): the kernel's u32 words reach the
+        # executor-native u8 rows through a Pallas concat kernel + a host
+        # key-row permutation instead of the XLA bitcast (which relaid the
+        # 512 MB tape at ~85-125 GB/s); byte-identical, REVERIE_TAPE_U8=0
+        # restores the bitcast tail.
+        use_u8 = (
+            use_pallas and not self._multiproc
+            and _os.environ.get("REVERIE_TAPE_U8", "1") not in ("", "0")
+        )
+        fn_key = ("aes", use_pallas, split, use_u8)
         if fn_key not in self._hash_fns:
             if use_pallas and self._multiproc:
                 # GSPMD cannot auto-partition a pallas_call across processes:
@@ -664,6 +673,14 @@ class TpuKKW:
                         out_specs=out_spec,
                         check_vma=False,
                     )(keys, mask)
+            elif use_pallas and use_u8:
+                from ..crypto.kernels.aes_pallas import (
+                    aes_ctr_tape_gf2_pallas_u8)
+
+                def fn(keys, nb, mask):
+                    return aes_ctr_tape_gf2_pallas_u8(
+                        keys, nb, mask, interpret=interp, split=split,
+                    )
             elif use_pallas:
                 from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
 
@@ -907,18 +924,28 @@ class TpuKKW:
                                                  65536))
                 or pallas_rep_pad(R) != R):
             return None
-        key = ("fused_exec", R)
+        use_u8 = _os.environ.get("REVERIE_TAPE_U8", "1") not in ("", "0")
+        key = ("fused_exec", R, use_u8)
         if key not in self._hash_fns:
             from ..crypto.kernels import aes_jax as aj
-            from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
+            from ..crypto.kernels.aes_pallas import (
+                aes_ctr_tape_gf2_pallas, aes_ctr_tape_gf2_pallas_u8)
 
             ex = self._executor(PROVER, R)
 
             def fn(keys, mask, wit2, wzlo, wzhi, tzlo, tzhi, tables):
-                tape = aes_ctr_tape_gf2_pallas(
-                    aj.round_key_planes_device(keys), nblocks, mask,
-                    split=True, interpret=interp,
-                )
+                if use_u8:
+                    # Pallas u8 relayout tail instead of the XLA bitcast:
+                    # the executor reads real u8 planes at stream rate
+                    # (the fused-bitcast reads ran at ~125 GB/s)
+                    tape = aes_ctr_tape_gf2_pallas_u8(
+                        keys, nblocks, mask, split=True, interpret=interp,
+                    )
+                else:
+                    tape = aes_ctr_tape_gf2_pallas(
+                        aj.round_key_planes_device(keys), nblocks, mask,
+                        split=True, interpret=interp,
+                    )
                 inp = dict(tapez_lo=tzlo, tapez_hi=tzhi, wit2=wit2,
                            witz_lo=wzlo, witz_hi=wzhi,
                            **self._tape2_inp(tape))

@@ -320,7 +320,7 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
                             tile_b: int = 32, tile_kw: int = 64,
                             interpret: bool = False, unroll: bool = False,
                             colsched: bool | None = None,
-                            split: bool = False):
+                            split: bool = False, u8_out: bool = False):
     """Drop-in equivalent of aes_jax.aes_ctr_tape_gf2, fully in-kernel.
     Returns (B*128, 4*Kw) uint8 GF2 tape.  Pads B up to a tile multiple and
     grids over the lane axis (tile_kw) so batch-prove lane counts (Kw = N*64)
@@ -405,12 +405,100 @@ def aes_ctr_tape_gf2_pallas(rkp, n_blocks: int, lane_mask, start_block=0,
     def _tail(w, rows_per_block):
         n = Bp * rows_per_block
         w = w.reshape(n, Kw)
+        if u8_out:
+            # Pallas relayout instead of the XLA bitcast: XLA's u32->u8
+            # tiling change runs at ~85-125 GB/s over the 512 MB tape
+            # (~8-10 ms at the 1M shape, materialized or fused into the
+            # executor's reads); the 2-D concat kernel does it at near
+            # stream rate.  Lane order comes out permuted (byte-plane
+            # concat) -- the caller pre-permutes the key rows so the
+            # result is in exact repetition order (u8emit_byte_perm).
+            return u32_rows_to_u8_rows(w, interpret)[: B * rows_per_block]
         by = jax.lax.bitcast_convert_type(w, jnp.uint8)  # (n, Kw, 4)
         return by.reshape(n, Kw * 4)[: B * rows_per_block]
 
     if split:
         return _tail(words[0], 64), _tail(words[1], 64)
     return _tail(words, 128)
+
+
+def _u8_relayout_kernel(in_ref, out_ref):
+    w = in_ref[...]  # (T, Kw) u32
+    parts = [(w >> np.uint32(8 * b)).astype(jnp.uint8) for b in range(4)]
+    out_ref[...] = jnp.concatenate(parts, axis=1)  # (T, 4Kw) u8
+
+
+def u32_rows_to_u8_rows(w, interpret: bool = False, rows_per_step: int = 512):
+    """(n, Kw) u32 -> (n, 4*Kw) u8 with out lane b*Kw + k = byte b of word
+    k (byte-plane-concat order -- the only u32->u8 lane fan-out Mosaic
+    compiles; the 4k+b bitcast interleave is an unsupported shape cast).
+    Row counts here are always multiples of 512 (Bp is a tile_b multiple
+    and every block contributes 64/128 rows)."""
+    n, Kw = w.shape
+    T = rows_per_step
+    while n % T:
+        T //= 2
+    return pl.pallas_call(
+        _u8_relayout_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 4 * Kw), jnp.uint8),
+        grid=(n // T,),
+        in_specs=[pl.BlockSpec((T, Kw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, 4 * Kw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(w)
+
+
+def u8emit_byte_perm(R: int) -> np.ndarray:
+    """Byte-slot permutation for the u8 relayout-kernel tape tail.
+
+    u32_rows_to_u8_rows emits byte b of tape word k to output lane
+    b*Kw + k (a lane concat of the four byte-plane truncations -- the
+    only u32->u8 lane fan-out Mosaic compiles).  perm[4*k + b] = r says
+    key byte-slot 4k+b (keys 32k+8b .. +8) must carry rep r's keys for
+    the output to land in exact repetition order.  Callers permute the
+    host key rows and mask bytes by this (aes_ctr_tape_gf2_pallas_u8);
+    proof bytes are unchanged.  Independent of the AES kernel's bpr/kwt
+    tiling: the permutation only touches which key occupies which u32
+    word bits."""
+    Kw = (R * 8) // 32
+    reps = np.arange(R)
+    b, k = np.divmod(reps, Kw)
+    perm = np.empty(R, np.int32)
+    perm[4 * k + b] = reps
+    return perm
+
+
+def aes_ctr_tape_gf2_pallas_u8(keys, n_blocks: int, lane_mask,
+                               start_block=0, interpret: bool = False,
+                               split: bool = False,
+                               colsched: bool | None = None,
+                               tile_b: int = 32, tile_kw: int = 64):
+    """In-kernel u8 tape emission (round 5): byte-identical to
+    aes_ctr_tape_gf2_pallas + its bitcast tail, but the kernel writes the
+    executor-native u8 rows directly, so no XLA u32->u8 relayout exists
+    anywhere (that relayout cost ~8-10 ms of the 1M prove's tape_execute
+    phase whether materialized or fused into the executor's reads).
+
+    keys: (R*8, 16) u8 seed-expanded player keys in repetition order;
+    lane_mask: (R*8//32,) u32 in repetition order (lane_mask_from_omit).
+    The key rows and mask bytes are permuted host/graph-side
+    (u8emit_byte_perm) so the kernel's concat-order emission lands in
+    exact repetition order."""
+    from .aes_jax import round_key_planes_device
+
+    R = keys.shape[0] // 8
+    perm = u8emit_byte_perm(R)
+    krp = (perm[:, None] * 8 + np.arange(8)[None, :]).reshape(-1)
+    keys = jnp.asarray(keys)[krp]
+    mb = jax.lax.bitcast_convert_type(jnp.asarray(lane_mask), jnp.uint8)
+    mb = mb.reshape(-1)[perm]
+    mask_p = jax.lax.bitcast_convert_type(mb.reshape(-1, 4), jnp.uint32)
+    return aes_ctr_tape_gf2_pallas(
+        round_key_planes_device(keys), n_blocks, mask_p,
+        start_block=start_block, tile_b=tile_b, tile_kw=tile_kw,
+        interpret=interpret, colsched=colsched, split=split, u8_out=True)
 
 
 def pallas_rep_pad(R: int) -> int:
