@@ -300,10 +300,42 @@ def _device_limited_bench(sys_, wit2) -> dict:
     total = sum(t.values())
     log("  devlim (slope): %s  total=%.1fms" % (
         " ".join(f"{k}={v*1e3:.1f}ms" for k, v in t.items()), total * 1e3))
-    return {
+    res = {
         "device_limited_gates_per_sec": round(N_GATES / total),
         "device_phase_ms": {k: round(v * 1e3, 1) for k, v in t.items()},
     }
+
+    # --- chained whole-prove e2e slope (round 5): one step = the FULL
+    # device pipeline (fused tape+execute -> hash -> extract) on a fresh
+    # witness perturb, so inter-jit stream materializations (onl2/pre2
+    # between the fused jit and the hash jit, the hash->extract handoff)
+    # are charged inside the chain.  Validates that the phase-sum headline
+    # is real, not an artifact of measuring phases in isolation (round-4
+    # verdict Weak #2).  The Fiat-Shamir challenge is host-side by
+    # construction; the chain reuses the first prove's opening -- extract
+    # cost is challenge-independent (always 40 opened reps).
+    if fused is not None:
+        fold2 = jax.jit(
+            lambda a, b: a.reshape(-1)[0].astype(jnp.uint32)
+            ^ b.reshape(-1)[0].astype(jnp.uint32))
+
+        def e2e_step(s, w):
+            w = perturb(w, s)
+            out = fjit(keys_d, mask_d, w, zwit, zwit, zrow, zrow,
+                       fex.tables)
+            rep_h2, _, _ = hfn(out["onl2"], out["pre2"], out["onlz"],
+                               out["prez"])
+            g = extractor(out["onl2"], out["pre2"], sh_d, cols_d)
+            return fold2(rep_h2, g), w
+
+        t_e2e = host_slope(
+            e2e_step,
+            jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R, axis=1)))
+        log(f"  devlim e2e (chained whole-prove): {t_e2e*1e3:.1f}ms "
+            f"(phase sum {total*1e3:.1f}ms)")
+        res["device_e2e_gates_per_sec"] = round(N_GATES / t_e2e)
+        res["device_e2e_ms"] = round(t_e2e * 1e3, 1)
+    return res
 
 
 def main() -> None:
