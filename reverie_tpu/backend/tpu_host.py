@@ -979,18 +979,30 @@ class TpuKKW:
 
         with timer.phase("expand_seeds"):
             player_keys = expand_seeds(seeds).reshape(R, 8, KEY_SIZE)
+        # non-divisor meshes (e.g. 12 devices): pad the repetition axis with
+        # dummy zero-key lanes so GSPMD shards evenly; hashes/fail flags are
+        # sliced back to R in _prove_challenge and extraction gathers only
+        # real lanes, so proof bytes are unchanged (the verifier pads the
+        # same way, _rep_pad).  Reference analog: rayon over any group
+        # count (proof/mod.rs:249,266).
+        Rp = self._rep_pad(R)
+        pk_exec = player_keys
+        if Rp != R:
+            pk_exec = np.concatenate(
+                [player_keys,
+                 np.zeros((Rp - R, 8, KEY_SIZE), np.uint8)])
         # fused tape+execute (one jit) unless profiling wants phase splits
-        fused = None if profile else self._fused_prove_fn(R)
+        fused = None if profile else self._fused_prove_fn(Rp)
         with timer.phase("tape_gf2"):
             if fused is None:
-                tape2 = self._gf2_tape(player_keys, None,
+                tape2 = self._gf2_tape(pk_exec, None,
                                        split=self._use_tape_split)
                 if profile:
                     import jax
 
                     jax.block_until_ready(tape2)
         with timer.phase("tape_z64"):
-            tz_lo, tz_hi = self._z64_tape(player_keys, None)
+            tz_lo, tz_hi = self._z64_tape(pk_exec, None)
 
         wit2 = np.asarray([1 if b else 0 for b in wit_gf2], dtype=np.uint8)
         witz = np.asarray([int(v) & 0xFFFFFFFFFFFFFFFF for v in wit_z64], dtype=U64)
@@ -1013,17 +1025,17 @@ class TpuKKW:
                     lambda w, r: _jnp.repeat(w, r, axis=1), static_argnums=(1,)
                 )
             bc = self._hash_fns["wit_bcast"]
-        wit2_bc = bc(wit2[: cc.n_wit2, None], R)
-        wzlo_bc = bc(wl[:, None], R)
-        wzhi_bc = bc(wh[:, None], R)
+        wit2_bc = bc(wit2[: cc.n_wit2, None], Rp)
+        wzlo_bc = bc(wl[:, None], Rp)
+        wzhi_bc = bc(wh[:, None], Rp)
         with timer.phase("execute"):
             if fused is not None:
                 import jax.numpy as jnp
 
                 fjit, fex = fused
-                mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
+                mask = np.full(Rp * 8 // 32, 0xFFFFFFFF, np.uint32)
                 out = fjit(
-                    jnp.asarray(player_keys.reshape(-1, KEY_SIZE)),
+                    jnp.asarray(pk_exec.reshape(-1, KEY_SIZE)),
                     jnp.asarray(mask), wit2_bc, wzlo_bc, wzhi_bc,
                     tz_lo, tz_hi, fex.tables,
                 )
@@ -1038,7 +1050,7 @@ class TpuKKW:
                     from ..parallel.mesh import shard_inputs
 
                     inp = shard_inputs(self.mesh, inp)
-                out = self._executor(PROVER, R)(inp)
+                out = self._executor(PROVER, Rp)(inp)
             if profile:
                 import jax
 
@@ -1057,7 +1069,8 @@ class TpuKKW:
                 import jax
 
                 jax.block_until_ready(dbuf)
-        return dict(seeds=seeds, player_keys=player_keys, out=out, dbuf=dbuf)
+        return dict(seeds=seeds, player_keys=player_keys, out=out, dbuf=dbuf,
+                    Rp=Rp)
 
     def _prove_challenge(self, st):
         """Pipeline stage 2: block on the hash pull, derive the Fiat-Shamir
@@ -1065,11 +1078,16 @@ class TpuKKW:
         and start their async pulls."""
         params = self.params
         R = params.total_reps
+        # Rp > R on non-divisor meshes: the dispatch padded the rep axis
+        # with dummy zero-key lanes; everything per-rep is sliced back to R
+        # here (a dummy lane's fail flag is meaningless -- its asserts ran
+        # on garbage shares)
+        Rp = st.pop("Rp", R)
         buf = np.asarray(st.pop("dbuf"))
-        rep_h = buf[: R * 32].reshape(R, 32)
-        st["ho2"] = buf[R * 32 : 2 * R * 32].reshape(R, 32)
-        st["hoz"] = buf[2 * R * 32 : 3 * R * 32].reshape(R, 32)
-        if buf[3 * R * 32 :].any():
+        rep_h = buf[: Rp * 32].reshape(Rp, 32)[:R]
+        st["ho2"] = buf[Rp * 32 : 2 * Rp * 32].reshape(Rp, 32)[:R]
+        st["hoz"] = buf[2 * Rp * 32 : 3 * Rp * 32].reshape(Rp, 32)[:R]
+        if buf[3 * Rp * 32 : 3 * Rp * 32 + R].any():
             raise AssertionError("witness is invalid (AssertZero failed)")
         comm = blake3(rep_h.tobytes())
         open_map = challenge_to_opening(comm, params)

@@ -436,6 +436,11 @@ def u32_rows_to_u8_rows(w, interpret: bool = False, rows_per_step: int = 512):
     and every block contributes 64/128 rows)."""
     n, Kw = w.shape
     T = rows_per_step
+    # block working set: T*Kw*4 in + T*4*Kw out = 8*T*Kw bytes; cap at
+    # ~4 MB so batch lane counts (Kw = N*64, e.g. 4096 at N=64) stay
+    # within scoped VMEM (the 1M single-proof shape Kw=64 keeps T=512)
+    while T > 8 and 8 * T * Kw > 4 * 1024 * 1024:
+        T //= 2
     while n % T:
         T //= 2
     return pl.pallas_call(
