@@ -780,39 +780,80 @@ class TpuKKW:
         if cc.mz < 512 or (R * 8) % 32 != 0:
             _, lo, hi = build_tapes(player_keys, omit, 0, cc.mz)
             return lo, hi
+        import os as _os
+
         import jax
         import jax.numpy as jnp
 
         from ..crypto.kernels import aes_jax as aj
 
-        if "aesz" not in self._hash_fns:
-            def zfn(keys, nb, mask):
-                return aj.aes_ctr_tape_z64_chunked(
-                    aj.round_key_planes_device(keys),
-                    aj.counter_planes_device(nb),
-                    mask,
-                )
+        nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
+        B = nbytes // 16
+        # Pallas z64 tape kernel (round 5): in-vreg bitslice->byte
+        # untranspose instead of the XLA path's HBM-materialized
+        # (16,B,Kw,32) intermediates (585 -> ~25 ms for the 50k-mul
+        # 1.6 GB tape).  Verifier rep counts reach it by zero-key lane
+        # padding, exactly as the gf2 kernel does.
+        interp = bool(_os.environ.get("REVERIE_PALLAS_INTERPRET")) and (
+            jax.default_backend() != "tpu"
+        )
+        use_pallas = (
+            (jax.default_backend() == "tpu" or interp)
+            and not _os.environ.get("REVERIE_NO_PALLAS")
+            and _os.environ.get("REVERIE_Z64_PALLAS", "1") not in ("", "0")
+            and not self._multiproc
+            and B <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
+        )
+        R_pad = R
+        if use_pallas:
+            from ..crypto.kernels.aes_pallas import pallas_rep_pad
+
+            R_pad = pallas_rep_pad(R)
+        zkey = ("aesz", use_pallas)
+        if zkey not in self._hash_fns:
+            if use_pallas:
+                from ..crypto.kernels.aes_pallas import (
+                    aes_ctr_tape_z64_pallas)
+
+                def zfn(keys, nb, mask):
+                    return aes_ctr_tape_z64_pallas(
+                        keys, nb, mask, interpret=interp)
+            else:
+                def zfn(keys, nb, mask):
+                    return aj.aes_ctr_tape_z64_chunked(
+                        aj.round_key_planes_device(keys),
+                        aj.counter_planes_device(nb),
+                        mask,
+                    )
             kw = {}
             if self._multiproc:
                 rep = self._rep_axis_name()
                 kw["out_shardings"] = (
                     self._sh(None, None, rep), self._sh(None, None, rep)
                 )
-            self._hash_fns["aesz"] = jax.jit(zfn, static_argnums=(1,), **kw)
-        nbytes = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES
-        B = nbytes // 16
-        if omit is None:
-            mask = np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32)
-        else:
-            mask = aj.lane_mask_raw_pm(omit, R)
+            self._hash_fns[zkey] = jax.jit(zfn, static_argnums=(1,), **kw)
         # player-major key order (key p*R + r): the kernel's (mz, 8, R)
         # output reshape is then free (see aes_jax.aes_ctr_tape_z64)
-        keys = jnp.asarray(
-            np.ascontiguousarray(
-                player_keys.transpose(1, 0, 2)
-            ).reshape(-1, KEY_SIZE)
-        )
-        return self._hash_fns["aesz"](keys, B, jnp.asarray(mask))
+        pk_pm = player_keys.transpose(1, 0, 2)  # (8, R, 16)
+        omit_arr = omit
+        if R_pad != R:
+            pk_pm = np.concatenate(
+                [pk_pm, np.zeros((8, R_pad - R, KEY_SIZE), np.uint8)],
+                axis=1)
+            if omit_arr is None:
+                omit_arr = np.full(R, 8, np.uint8)
+            omit_arr = np.concatenate(
+                [np.asarray(omit_arr, np.uint8),
+                 np.full(R_pad - R, 8, np.uint8)])
+        if omit_arr is None:
+            mask = np.full(R_pad * 8 // 32, 0xFFFFFFFF, np.uint32)
+        else:
+            mask = aj.lane_mask_raw_pm(omit_arr, R_pad)
+        keys = jnp.asarray(np.ascontiguousarray(pk_pm).reshape(-1, KEY_SIZE))
+        lo, hi = self._hash_fns[zkey](keys, B, jnp.asarray(mask))
+        if R_pad != R:
+            lo, hi = lo[:, :, :R], hi[:, :, :R]
+        return lo, hi
 
     def _hash_fn(self, with_comm: bool):
         """Jitted device transcript-hash pipeline.

@@ -455,6 +455,225 @@ def u32_rows_to_u8_rows(w, interpret: bool = False, rows_per_step: int = 512):
     )(w)
 
 
+def _aes_tape_z64_kernel(tb: int, bpr: int,
+                         rkp_ref, mask_ref, start_ref, lo_ref, hi_ref):
+    """AES-CTR keystream -> z64 mask tape, fully in-kernel (round 5).
+
+    The XLA path (aes_jax.aes_ctr_tape_z64_chunked) pays a bitslice->byte
+    untranspose through HBM-materialized (16,B,Kw,32) intermediates --
+    measured 585 ms for the 50k-mul tape (1.6 GB keystream) vs ~25 ms of
+    AES ALU at the Pallas gf2 kernel's rate.  Here the untranspose runs
+    in vregs: per byte position, an 8x8 SWAR bit-matrix transpose turns 8
+    bit planes into per-key bytes; per output word, a 4x4 SWAR byte
+    transpose assembles the LE u32 halves (numpy-validated in
+    tools/r5_zswar.py).  Output element [t, g, w*32 + (q*8+j), l] is the
+    lo/hi u32 of CTR word (2*(t*bpr+g) + w) for kernel key 32l + 8q + j;
+    the caller feeds key rows permuted so that flattening yields
+    (slots, 8, R) in player-major repetition order
+    (aes_ctr_tape_z64_pallas).  AES core (CTR init, column-scheduled
+    rounds) matches _aes_tape_kernel."""
+    Kw = rkp_ref.shape[-1]
+    TB = tb
+    T = TB // bpr
+
+    rk0 = rkp_ref[0]
+    base = start_ref[0].astype(U32) + (pl.program_id(0) * TB).astype(U32)
+    row = jax.lax.broadcasted_iota(U32, (T, Kw), 0)
+    if bpr > 1:
+        lane = jax.lax.broadcasted_iota(U32, (T, Kw), 1)
+        kw_real = Kw // bpr
+        assert kw_real & (kw_real - 1) == 0
+        idx = base + row * np.uint32(bpr) + (
+            lane >> np.uint32(kw_real.bit_length() - 1))
+    else:
+        idx = base + row
+
+    def init_plane(by, bit):
+        rk = rk0[by, bit][None, :]
+        shift = 8 * (15 - by) + bit
+        if by < 8 or shift >= 32:
+            return jnp.broadcast_to(rk, (T, Kw))
+        bitval = (idx >> np.uint32(shift)) & jnp.asarray(1, U32)
+        return (jnp.zeros((T, Kw), U32) - bitval) ^ rk
+
+    planes = tuple(init_plane(by, bit) for by in range(16) for bit in range(8))
+
+    def xtime(b):
+        return [b[7], b[0] ^ b[7], b[1], b[2] ^ b[7], b[3] ^ b[7], b[4],
+                b[5], b[6]]
+
+    def round_body_cs(rnd, planes):
+        rk = rkp_ref[rnd]
+        out = [None] * 128
+        for c in range(4):
+            rows = []
+            for r in range(4):
+                src = int(_SHIFT_ROWS[4 * c + r])
+                msb = [planes[src * 8 + 7 - i] for i in range(8)]
+                sb = sbox_bitsliced(msb, lambda a, b: a ^ b,
+                                    lambda a, b: a & b, lambda a: ~a)
+                rows.append([sb[7 - i] for i in range(8)])
+            xt = [xtime(r_) for r_ in rows]
+            for i in range(8):
+                out[(4 * c + 0) * 8 + i] = (
+                    xt[0][i] ^ xt[1][i] ^ rows[1][i] ^ rows[2][i] ^ rows[3][i]
+                ) ^ rk[4 * c + 0, i][None, :]
+                out[(4 * c + 1) * 8 + i] = (
+                    rows[0][i] ^ xt[1][i] ^ xt[2][i] ^ rows[2][i] ^ rows[3][i]
+                ) ^ rk[4 * c + 1, i][None, :]
+                out[(4 * c + 2) * 8 + i] = (
+                    rows[0][i] ^ rows[1][i] ^ xt[2][i] ^ xt[3][i] ^ rows[3][i]
+                ) ^ rk[4 * c + 2, i][None, :]
+                out[(4 * c + 3) * 8 + i] = (
+                    xt[0][i] ^ rows[0][i] ^ rows[1][i] ^ rows[2][i] ^ xt[3][i]
+                ) ^ rk[4 * c + 3, i][None, :]
+        return tuple(out)
+
+    for rnd in range(1, 10):
+        planes = round_body_cs(rnd, planes)
+
+    mask = mask_ref[0][None, :]
+    rk10 = rkp_ref[10]
+    kwr = Kw // bpr
+
+    def transpose_bits_8x8(w):
+        w = list(w)
+        for dm, pairs in (
+            (4, (0, 1, 2, 3)),
+            (2, (0, 1, 4, 5)),
+            (1, (0, 2, 4, 6)),
+        ):
+            m = {4: jnp.asarray(0x0F0F0F0F, U32),
+                 2: jnp.asarray(0x33333333, U32),
+                 1: jnp.asarray(0x55555555, U32)}[dm]
+            sh = np.uint32(dm)
+            for b in pairs:
+                x, y = w[b], w[b + dm]
+                w[b] = (x & m) | ((y & m) << sh)
+                w[b + dm] = ((x >> sh) & m) | (y & ~m)
+        return w
+
+    def transpose_bytes_4x4(a):
+        m = jnp.asarray(0x0000FFFF, U32)
+        b0 = (a[0] & m) | ((a[2] & m) << np.uint32(16))
+        b2 = ((a[0] >> np.uint32(16)) & m) | (a[2] & ~m)
+        b1 = (a[1] & m) | ((a[3] & m) << np.uint32(16))
+        b3 = ((a[1] >> np.uint32(16)) & m) | (a[3] & ~m)
+        m = jnp.asarray(0x00FF00FF, U32)
+        o0 = (b0 & m) | ((b1 & m) << np.uint32(8))
+        o1 = ((b0 >> np.uint32(8)) & m) | (b1 & ~m)
+        o2 = (b2 & m) | ((b3 & m) << np.uint32(8))
+        o3 = ((b2 >> np.uint32(8)) & m) | (b3 & ~m)
+        return [o0, o1, o2, o3]
+
+    # final round by-groups of 4: group g4 covers bytes 4*g4..+4 ->
+    # (w = g4 // 2, lo/hi = g4 % 2); one S-box at a time keeps the live
+    # set small (colsched discipline)
+    for g4 in range(4):
+        w_idx, is_hi = divmod(g4, 2)
+        ref = hi_ref if is_hi else lo_ref
+        tj = []  # [i][j] -> (T, Kw) u32: byte of key 8q+j at byte pos i
+        for i in range(4):
+            by = 4 * g4 + i
+            src = int(_SHIFT_ROWS[by])
+            msb = [planes[src * 8 + 7 - i2] for i2 in range(8)]
+            sb = sbox_bitsliced(msb, lambda a, b: a ^ b,
+                                lambda a, b: a & b, lambda a: ~a)
+            # LSB-indexed bit planes of this keystream byte, masked
+            pb = [(sb[7 - b] ^ rk10[by, b][None, :]) & mask for b in range(8)]
+            tj.append(transpose_bits_8x8(pb))
+        for j in range(8):
+            oq = transpose_bytes_4x4([tj[i][j] for i in range(4)])
+            for q in range(4):
+                d2 = w_idx * 32 + q * 8 + j
+                if bpr > 1:
+                    for g in range(bpr):
+                        ref[:, g, d2, :] = oq[q][:, g * kwr:(g + 1) * kwr]
+                else:
+                    ref[:, d2, :] = oq[q]
+
+
+def z64emit_key_perm(R: int) -> np.ndarray:
+    """Key-row permutation for the z64 Pallas tape kernel.
+
+    The kernel's output position (q*8 + j)*Kw + l (flattened (slots, 8R))
+    carries kernel key 32l + 8q + j; perm[32l + 8q + j] = (q*8+j)*Kw + l
+    says which PLAYER-MAJOR key row (p*R + r = output position) each
+    kernel slot must hold.  Kw = R/4 words."""
+    Kw = (R * 8) // 32
+    pos = np.arange(R * 8)
+    qj, l = np.divmod(pos, Kw)
+    perm = np.empty(R * 8, np.int64)
+    perm[32 * l + 8 * (qj // 8) + (qj % 8)] = pos
+    return perm
+
+
+def aes_ctr_tape_z64_pallas(keys_pm, n_blocks: int, lane_mask_pm,
+                            start_block=0, interpret: bool = False,
+                            tile_b: int = 32):
+    """Drop-in device equivalent of aes_jax.aes_ctr_tape_z64_chunked.
+
+    keys_pm: (R*8, 16) u8 keys in PLAYER-MAJOR order (row p*R + r);
+    lane_mask_pm: (R*8//32,) u32 in the same raw order
+    (lane_mask_raw_pm).  Returns (lo, hi): (n_blocks*2, 8, R) u32."""
+    K = keys_pm.shape[0]
+    R = K // 8
+    Kw = K // 32
+    from .aes_jax import round_key_planes_device
+
+    perm = z64emit_key_perm(R)
+    keys_k = jnp.asarray(keys_pm)[perm]
+    # permute mask bits: kernel bit slot s must carry raw mask bit perm[s]
+    mbits = (jnp.asarray(lane_mask_pm)[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
+    mbits = mbits.reshape(-1)[perm].reshape(-1, 32)
+    mask_k = jnp.sum(mbits << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                     axis=1, dtype=jnp.uint32)
+    rkp = round_key_planes_device(keys_k)
+
+    mask2d = mask_k.reshape(1, Kw)
+    bpr = 128 // Kw if (Kw < 128 and 128 % Kw == 0) else 1
+    if bpr > 1:
+        rkp = jnp.concatenate([rkp] * bpr, axis=-1)
+        mask2d = jnp.concatenate([mask2d] * bpr, axis=-1)
+    L = Kw * bpr
+    if tile_b % bpr:
+        tile_b = max(bpr, (tile_b // bpr) * bpr)
+    while tile_b > 8 * bpr and 2 * 128 * (tile_b // bpr) * L * 4 > 8 * 1024 * 1024:
+        tile_b //= 2
+    B = n_blocks
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    grid = (Bp // tile_b,)
+    T = tile_b // bpr
+    out_shape = jax.ShapeDtypeStruct((Bp // bpr, bpr, 64, Kw), jnp.uint32)
+    out_spec = pl.BlockSpec((T, bpr, 64, Kw), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if bpr == 1:
+        out_shape = jax.ShapeDtypeStruct((Bp, 64, Kw), jnp.uint32)
+        out_spec = pl.BlockSpec((T, 64, Kw), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    lo, hi = pl.pallas_call(
+        functools.partial(_aes_tape_z64_kernel, tile_b, bpr),
+        out_shape=(out_shape, out_shape),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((11, 16, 8, L), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        interpret=interpret,
+        out_specs=(out_spec, out_spec),
+    )(rkp, mask2d, jnp.asarray(start_block, jnp.int32).reshape(1))
+
+    def _tail(x):
+        # [t(,g), w*32+qj, l] -> (slots, 8, R): flat row = 2*block + w,
+        # columns (q*8+j)*Kw + l = player-major p*R + r by construction
+        return x.reshape(Bp * 2, 8, R)[: B * 2]
+
+    return _tail(lo), _tail(hi)
+
+
 def u8emit_byte_perm(R: int) -> np.ndarray:
     """Byte-slot permutation for the u8 relayout-kernel tape tail.
 
