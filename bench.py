@@ -156,6 +156,134 @@ def _sha256_batch_bench() -> dict:
         return {"sha256_error": str(e)[:160]}
 
 
+def _verify_device_bench(sys_, proof) -> dict:
+    """Device budget for the 1M verify (round-5 verdict item 7): the
+    verifier re-executes all 256 reps (40 online + 216 preprocessing), so
+    its chip time should land near the prover's.  Two chained slopes over
+    the production jits: the online leg (packed-stream unpack -> 40-rep
+    gf2 tape -> VERIFY_ONL executor -> hash) and the preprocessing leg
+    (256-rep tape -> VERIFY_PRE executor -> hash+comm).  Host-side seed
+    expansion / challenge reorder are excluded (they overlap device work
+    in production).  Match: /root/reference/src/proof/mod.rs:224-307."""
+    import jax
+    import jax.numpy as jnp
+
+    from reverie_tpu.backend.tpu_host import (
+        VERIFY_ONL, VERIFY_PRE, build_online_injection_packed, expand_seeds)
+    from reverie_tpu.crypto.kernels import aes_jax as aj
+    from reverie_tpu.crypto.kernels.aes_pallas import pallas_rep_pad
+
+    cc = sys_.cc
+    packed, small, omit, omitz = build_online_injection_packed(
+        cc, proof.gf2.online, proof.z64.online)
+    player_keys = np.stack(
+        [np.frombuffer(o.seeds, dtype=np.uint8).reshape(8, 16)
+         for o in proof.gf2.online])
+    Ro = len(proof.gf2.online)
+    unpack = sys_._hash_fns["onl_unpack"]
+    split = sys_._use_tape_split
+    tape_fn = next(v for k, v in sys_._hash_fns.items()
+                   if isinstance(k, tuple) and k[0] == "aes")
+    nblocks = (cc.m2 + 127) // 128
+    zrow_o = jnp.zeros((0, 8, Ro), jnp.uint32)
+
+    Rop_pad = pallas_rep_pad(Ro)
+    keys_o = player_keys.reshape(-1, 16)
+    omit_p = np.concatenate([omit, np.full(Rop_pad - Ro, 8, omit.dtype)])
+    keys_o = np.concatenate(
+        [keys_o, np.zeros(((Rop_pad - Ro) * 8, 16), np.uint8)])
+    mask_o = jnp.asarray(aj.lane_mask_from_omit(omit_p, Rop_pad))
+    keys_o_d = jnp.asarray(keys_o)
+    packed_d = {k: jnp.asarray(v) for k, v in packed.items()}
+    small_d = {k: jnp.asarray(v) for k, v in small.items()}
+    ex_onl = sys_._executor(VERIFY_ONL, Ro)
+    hfn = sys_._hash_fn(False)
+
+    perturb = jax.jit(
+        lambda a, s: a.at[0, 0].set((s & jnp.uint32(255)).astype(a.dtype)),
+        donate_argnums=0)
+    fold = jax.jit(lambda a: a.reshape(-1)[0].astype(jnp.uint32))
+
+    def host_slope(stepf, state0, k_lo=2, k_hi=8, reps=3):
+        s, st = stepf(jnp.uint32(0), state0)
+        float(np.asarray(s))
+
+        def run(k):
+            nonlocal st
+            s, st2 = stepf(jnp.uint32(1), st)
+            float(np.asarray(s))
+            st = st2
+            t0 = time.time()
+            for _ in range(k):
+                s, st = stepf(s, st)
+            float(np.asarray(s))
+            return time.time() - t0
+
+        return min((run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+                   for _ in range(reps))
+
+    def onl_step(s, k):
+        k = perturb(k, s)
+        inj = unpack(packed_d["co2p"], packed_d["in2p"], packed_d["re2p"],
+                     packed_d["omit_u8"], packed_d["rezv_lo"],
+                     packed_d["rezv_hi"], packed_d["omitz_i32"])
+        inj.update(small_d)
+        tape = tape_fn(k, nblocks, mask_o)
+        if isinstance(tape, tuple):
+            tape = (tape[0][:, :Ro], tape[1][:, :Ro])
+        else:
+            tape = tape[:, :Ro]
+        out = ex_onl(dict(tapez_lo=zrow_o, tapez_hi=zrow_o, **inj,
+                          **sys_._tape2_inp(tape)))
+        rep_h, _, _ = hfn(out["onl2"], out["pre2"], out["onlz"],
+                          out["prez"])
+        return fold(rep_h), k
+
+    t_onl = host_slope(onl_step, jnp.array(keys_o_d))
+
+    Rp = len(proof.gf2.preprocessing)
+    seeds2 = np.stack([np.frombuffer(p.seed, dtype=np.uint8)
+                       for p in proof.gf2.preprocessing])
+    comm2 = np.stack([np.frombuffer(p.comm_online, dtype=np.uint8)
+                      for p in proof.gf2.preprocessing])
+    commz = np.stack([np.frombuffer(p.comm_online, dtype=np.uint8)
+                      for p in proof.z64.preprocessing])
+    pk2 = expand_seeds(seeds2).reshape(-1, 16)
+    Rpp_pad = pallas_rep_pad(Rp)
+    pk2 = np.concatenate(
+        [pk2, np.zeros(((Rpp_pad - Rp) * 8, 16), np.uint8)])
+    mask_p = jnp.asarray(np.full(Rpp_pad * 8 // 32, 0xFFFFFFFF, np.uint32))
+    zrow_p = jnp.zeros((0, 8, Rp), jnp.uint32)
+    comm2_d, commz_d = jnp.asarray(comm2), jnp.asarray(commz)
+    ex_pre = sys_._executor(VERIFY_PRE, Rp)
+    hfn_c = sys_._hash_fn(True)
+
+    def pre_step(s, k):
+        k = perturb(k, s)
+        tape = tape_fn(k, nblocks, mask_p)
+        if isinstance(tape, tuple):
+            tape = (tape[0][:, :Rp], tape[1][:, :Rp])
+        else:
+            tape = tape[:, :Rp]
+        out = ex_pre(dict(tapez_lo=zrow_p, tapez_hi=zrow_p,
+                          **sys_._tape2_inp(tape)))
+        rep_h, _, _ = hfn_c(out["onl2"], out["pre2"], out["onlz"],
+                            out["prez"], comm2_d, commz_d)
+        return fold(rep_h), k
+
+    t_pre = host_slope(pre_step, jnp.asarray(pk2))
+    total = t_onl + t_pre
+    log(f"  verify devlim (slope): onl={t_onl*1e3:.1f}ms "
+        f"pre={t_pre*1e3:.1f}ms  total={total*1e3:.1f}ms")
+    return {
+        "verify_device_ms": round(total * 1e3, 1),
+        "verify_device_phase_ms": {
+            "onl_leg": round(t_onl * 1e3, 1),
+            "pre_leg": round(t_pre * 1e3, 1),
+        },
+    }
+
+
 def _z64_bench() -> dict:
     """BASELINE config 3 (z64 mul-gate throughput), driver-visible
     (round-5 verdict Missing #3: the 1.58 M device figure lived only in
@@ -536,6 +664,11 @@ def main() -> None:
         "verify_s": round(dt_verify, 3),
     }
     if os.environ.get("BENCH_DEVLIM", "1") != "0":
+        try:
+            result.update(_verify_device_bench(sys_, proof))
+        except Exception as e:  # noqa: BLE001 -- secondary metric
+            log(f"  verify device bench failed: {e!r}")
+            result["verify_device_error"] = str(e)[:160]
         try:
             result.update(_device_limited_bench(sys_, wit2))
             if "device_limited_gates_per_sec" in result:
