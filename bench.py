@@ -156,6 +156,39 @@ def _sha256_batch_bench() -> dict:
         return {"sha256_error": str(e)[:160]}
 
 
+def _host_slope(stepf, state0, k_lo=2, k_hi=8, reps=3):
+    """Chained-slope timing: per-iter device time = (T(k_hi)-T(k_lo)) /
+    (k_hi-k_lo) with ONE pull per run; cancels the axon relay RTT, the
+    dispatch floor, and the ramp.  Every iteration's chain scalar is made
+    globally unique (a host counter XOR) so the relay's execution cache
+    can never replay a repeated (executable, inputs) pair -- repeated
+    values collapsed the verify-leg slopes to ~4x under-reads (round 5).
+    """
+    import jax.numpy as jnp
+
+    ctr = [0]
+
+    def nxt(s):
+        ctr[0] += 1
+        return s ^ jnp.uint32(ctr[0] * 2654435761 & 0xFFFFFFFF)
+
+    s, st = stepf(jnp.uint32(0), state0)
+    float(np.asarray(s))  # warm
+
+    def run(k):
+        nonlocal st
+        s, st2 = stepf(nxt(jnp.uint32(1)), st)
+        float(np.asarray(s))  # fence the ramp; RTT cancels in the slope
+        st = st2
+        t0 = time.time()
+        for _ in range(k):
+            s, st = stepf(nxt(s), st)
+        float(np.asarray(s))
+        return time.time() - t0
+
+    return min((run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(reps))
+
+
 def _verify_device_bench(sys_, proof) -> dict:
     """Device budget for the 1M verify (round-5 verdict item 7): the
     verifier re-executes all 256 reps (40 online + 216 preprocessing), so
@@ -204,24 +237,6 @@ def _verify_device_bench(sys_, proof) -> dict:
         donate_argnums=0)
     fold = jax.jit(lambda a: a.reshape(-1)[0].astype(jnp.uint32))
 
-    def host_slope(stepf, state0, k_lo=2, k_hi=8, reps=3):
-        s, st = stepf(jnp.uint32(0), state0)
-        float(np.asarray(s))
-
-        def run(k):
-            nonlocal st
-            s, st2 = stepf(jnp.uint32(1), st)
-            float(np.asarray(s))
-            st = st2
-            t0 = time.time()
-            for _ in range(k):
-                s, st = stepf(s, st)
-            float(np.asarray(s))
-            return time.time() - t0
-
-        return min((run(k_hi) - run(k_lo)) / (k_hi - k_lo)
-                   for _ in range(reps))
-
     def onl_step(s, k):
         k = perturb(k, s)
         inj = unpack(packed_d["co2p"], packed_d["in2p"], packed_d["re2p"],
@@ -239,7 +254,7 @@ def _verify_device_bench(sys_, proof) -> dict:
                           out["prez"])
         return fold(rep_h), k
 
-    t_onl = host_slope(onl_step, jnp.array(keys_o_d))
+    t_onl = _host_slope(onl_step, jnp.array(keys_o_d))
 
     Rp = len(proof.gf2.preprocessing)
     seeds2 = np.stack([np.frombuffer(p.seed, dtype=np.uint8)
@@ -271,7 +286,7 @@ def _verify_device_bench(sys_, proof) -> dict:
                             out["prez"], comm2_d, commz_d)
         return fold(rep_h), k
 
-    t_pre = host_slope(pre_step, jnp.asarray(pk2))
+    t_pre = _host_slope(pre_step, jnp.asarray(pk2))
     total = t_onl + t_pre
     log(f"  verify devlim (slope): onl={t_onl*1e3:.1f}ms "
         f"pre={t_pre*1e3:.1f}ms  total={total*1e3:.1f}ms")
@@ -329,7 +344,8 @@ def _z64_bench() -> dict:
         zkeys = jnp.asarray(
             np.ascontiguousarray(pk.transpose(1, 0, 2)).reshape(-1, 16))
         B = ((cc.mz + BATCH - 1) // BATCH) * Z64_BATCH_BYTES // 16
-        ztape_fn = sys_._hash_fns["aesz"]  # built by the warm prove
+        ztape_fn = next(v for k, v in sys_._hash_fns.items()
+                        if isinstance(k, tuple) and k[0] == "aesz")
         mask_d = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
         wlo = np.asarray([int(w) & 0xFFFFFFFF for w in wz], np.uint32)
         whi = np.asarray([(int(w) >> 32) & 0xFFFFFFFF for w in wz],
@@ -361,25 +377,7 @@ def _z64_bench() -> dict:
             zb = sys_._extract_z64_dispatch(out, cols, omit[cols])
             return fold2(rep_h, zb), k
 
-        def host_slope(stepf, state0, k_lo=2, k_hi=8, reps=3):
-            s, st = stepf(jnp.uint32(0), state0)
-            float(np.asarray(s))
-
-            def run(k):
-                nonlocal st
-                s, st2 = stepf(jnp.uint32(1), st)
-                float(np.asarray(s))
-                st = st2
-                t0 = time.time()
-                for _ in range(k):
-                    s, st = stepf(s, st)
-                float(np.asarray(s))
-                return time.time() - t0
-
-            return min((run(k_hi) - run(k_lo)) / (k_hi - k_lo)
-                       for _ in range(reps))
-
-        t_dev = host_slope(step, jnp.array(zkeys))
+        t_dev = _host_slope(step, jnp.array(zkeys))
         log(f"  z64 single {dt1:.2f}s wall ({n_muls/dt1/1e3:.1f}k/s, "
             f"tunnel-bound); device e2e {t_dev*1e3:.1f}ms = "
             f"{n_muls/t_dev/1e6:.2f}M mul gates/s ok={okz}")
@@ -431,24 +429,6 @@ def _device_limited_bench(sys_, wit2) -> dict:
     )
     fold = jax.jit(lambda a: a.reshape(-1)[0].astype(jnp.uint32))
 
-    def host_slope(step, state0, k_lo=2, k_hi=8, reps=3):
-        s, st = step(jnp.uint32(0), state0)
-        float(np.asarray(s))  # warm
-
-        def run(k):
-            nonlocal st
-            s, st2 = step(jnp.uint32(1), st)
-            float(np.asarray(s))  # fence the ramp; RTT cancels in the slope
-            st = st2
-            t0 = time.time()
-            for _ in range(k):
-                s, st = step(s, st)
-            float(np.asarray(s))
-            return time.time() - t0
-
-        return min(
-            (run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(reps)
-        )
 
     t = {}
 
@@ -472,7 +452,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
             out = fjit(keys_d, mask_d, w, zwit, zwit, zrow, zrow, fex.tables)
             return fold(out["onl2"]), w
 
-        t["tape_execute"] = host_slope(fused_step, wit2_d)
+        t["tape_execute"] = _host_slope(fused_step, wit2_d)
         out0 = dict(fjit(keys_d, mask_d,
                          jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R,
                                                axis=1)),
@@ -489,7 +469,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
             out = tape_fn(k, nblocks, mask_d)
             return fold(out[0] if isinstance(out, tuple) else out), k
 
-        t["tape"] = host_slope(tape_step, keys_d)
+        t["tape"] = _host_slope(tape_step, keys_d)
 
         tape2 = sys_._gf2_tape(pk, None, split=_split)
 
@@ -502,7 +482,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
             w = perturb(w, s)
             return fold(ex(mkinp(w))["onl2"]), w
 
-        t["execute"] = host_slope(exec_step, wit2_d)
+        t["execute"] = _host_slope(exec_step, wit2_d)
         out0 = dict(ex(mkinp(jnp.asarray(
             np.repeat(w2[: cc.n_wit2, None], R, axis=1)))))
     hfn = sys_._hash_fn(False)
@@ -511,7 +491,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
         o = perturb(o, s)
         return fold(hfn(o, out0["pre2"], out0["onlz"], out0["prez"])[0]), o
 
-    t["hash"] = host_slope(hash_step, jnp.array(out0["onl2"]))
+    t["hash"] = _host_slope(hash_step, jnp.array(out0["onl2"]))
 
     # --- extract (production extractor at the real challenge shape) ---
     rep_h, ho2, hoz = hfn(out0["onl2"], out0["pre2"], out0["onlz"],
@@ -533,7 +513,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
         o = perturb(o, s)
         return fold(extractor(o, out0["pre2"], sh_d, cols_d)), o
 
-    t["extract_dev"] = host_slope(extract_step, jnp.array(out0["onl2"]))
+    t["extract_dev"] = _host_slope(extract_step, jnp.array(out0["onl2"]))
 
     total = sum(t.values())
     log("  devlim (slope): %s  total=%.1fms" % (
@@ -566,7 +546,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
             g = extractor(out["onl2"], out["pre2"], sh_d, cols_d)
             return fold2(rep_h2, g), w
 
-        t_e2e = host_slope(
+        t_e2e = _host_slope(
             e2e_step,
             jnp.asarray(np.repeat(w2[: cc.n_wit2, None], R, axis=1)))
         log(f"  devlim e2e (chained whole-prove): {t_e2e*1e3:.1f}ms "

@@ -192,7 +192,22 @@ class StreamingKKW:
             and nblocks <= int(os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
             and R % 256 == 0  # same lane gate as tpu_host._gf2_tape
         )
-        if use_pallas:
+        use_u8 = os.environ.get("REVERIE_TAPE_U8", "1") not in ("", "0")
+        if use_pallas and use_u8:
+            # u8 relayout tail (round 5): the in-jit key-row permutation +
+            # device key schedule replace the precomputed rkp; the XLA
+            # u32->u8 bitcast (the ~85-125 GB/s relayout) disappears from
+            # every segment window
+            from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas_u8
+
+            if "aesp8" not in self._bitx:
+                self._bitx["aesp8"] = jax.jit(
+                    aes_ctr_tape_gf2_pallas_u8, static_argnums=(1,)
+                )
+            rows = self._bitx["aesp8"](
+                jnp.asarray(player_keys.reshape(-1, KEY_SIZE)), nblocks,
+                mask, np.int32(b0))
+        elif use_pallas:
             from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas
 
             if "aesp" not in self._bitx:
