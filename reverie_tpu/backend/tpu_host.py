@@ -668,7 +668,7 @@ class TpuKKW:
         # 512 MB tape at ~85-125 GB/s); byte-identical, REVERIE_TAPE_U8=0
         # restores the bitcast tail.
         use_u8 = (
-            use_pallas and not self._multiproc
+            use_pallas
             and _os.environ.get("REVERIE_TAPE_U8", "1") not in ("", "0")
         )
         fn_key = ("aes", use_pallas, split, use_u8)
@@ -695,6 +695,17 @@ class TpuKKW:
 
                 def fn(keys, nb, mask):
                     def shard_fn(k, m):
+                        if use_u8:
+                            # per-shard u8 relayout tail: each shard's key
+                            # rows are its own reps in order, so the
+                            # per-shard permutation composes with the lane
+                            # concat of out_specs (round 5)
+                            from ..crypto.kernels.aes_pallas import (
+                                aes_ctr_tape_gf2_pallas_u8)
+
+                            return aes_ctr_tape_gf2_pallas_u8(
+                                k, nb, m, interpret=interp, split=split,
+                            )
                         return aes_ctr_tape_gf2_pallas(
                             aj.round_key_planes_device(k), nb, m,
                             interpret=interp, split=split,
