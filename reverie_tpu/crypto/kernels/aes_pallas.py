@@ -455,7 +455,7 @@ def u32_rows_to_u8_rows(w, interpret: bool = False, rows_per_step: int = 512):
     )(w)
 
 
-def _aes_tape_z64_kernel(tb: int, bpr: int,
+def _aes_tape_z64_kernel(tb: int, bpr: int, colsched: bool,
                          rkp_ref, mask_ref, start_ref, lo_ref, hi_ref):
     """AES-CTR keystream -> z64 mask tape, fully in-kernel (round 5).
 
@@ -529,8 +529,63 @@ def _aes_tape_z64_kernel(tb: int, bpr: int,
                 ) ^ rk[4 * c + 3, i][None, :]
         return tuple(out)
 
-    for rnd in range(1, 10):
-        planes = round_body_cs(rnd, planes)
+    if colsched:
+        for rnd in range(1, 10):
+            planes = round_body_cs(rnd, planes)
+    else:
+        # interpret / XLA:CPU path: the unrolled column-scheduled rounds
+        # make XLA:CPU's pipeline superlinear (same issue as the gf2
+        # kernel); a fori_loop with the standard round body keeps the
+        # graph O(1) in rounds
+        def sub_bytes(planes):
+            out = []
+            for by in range(16):
+                msb = [planes[by * 8 + 7 - i] for i in range(8)]
+                sb = sbox_bitsliced(msb, lambda a, b: a ^ b,
+                                    lambda a, b: a & b, lambda a: ~a)
+                out.extend(sb[7 - i] for i in range(8))
+            return tuple(out)
+
+        def shift_rows(planes):
+            return tuple(
+                planes[int(_SHIFT_ROWS[by]) * 8 + bit]
+                for by in range(16)
+                for bit in range(8)
+            )
+
+        def mix_columns(planes):
+            out = [None] * 128
+            for c in range(4):
+                rows = [[planes[(4 * c + r) * 8 + bit] for bit in range(8)]
+                        for r in range(4)]
+                xt = [xtime(r) for r in rows]
+                for i in range(8):
+                    out[(4 * c + 0) * 8 + i] = (xt[0][i] ^ xt[1][i]
+                                                ^ rows[1][i] ^ rows[2][i]
+                                                ^ rows[3][i])
+                    out[(4 * c + 1) * 8 + i] = (rows[0][i] ^ xt[1][i]
+                                                ^ xt[2][i] ^ rows[2][i]
+                                                ^ rows[3][i])
+                    out[(4 * c + 2) * 8 + i] = (rows[0][i] ^ rows[1][i]
+                                                ^ xt[2][i] ^ xt[3][i]
+                                                ^ rows[3][i])
+                    out[(4 * c + 3) * 8 + i] = (xt[0][i] ^ rows[0][i]
+                                                ^ rows[1][i] ^ rows[2][i]
+                                                ^ xt[3][i])
+            return tuple(out)
+
+        def round_body(rnd, planes):
+            planes = sub_bytes(planes)
+            planes = shift_rows(planes)
+            planes = mix_columns(planes)
+            rk = rkp_ref[rnd]
+            return tuple(
+                planes[by * 8 + bit] ^ rk[by, bit][None, :]
+                for by in range(16)
+                for bit in range(8)
+            )
+
+        planes = jax.lax.fori_loop(1, 10, round_body, planes)
 
     mask = mask_ref[0][None, :]
     rk10 = rkp_ref[10]
@@ -652,7 +707,7 @@ def aes_ctr_tape_z64_pallas(keys_pm, n_blocks: int, lane_mask_pm,
         out_spec = pl.BlockSpec((T, 64, Kw), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     lo, hi = pl.pallas_call(
-        functools.partial(_aes_tape_z64_kernel, tile_b, bpr),
+        functools.partial(_aes_tape_z64_kernel, tile_b, bpr, not interpret),
         out_shape=(out_shape, out_shape),
         grid=grid,
         in_specs=[
