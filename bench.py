@@ -156,6 +156,34 @@ def _sha256_batch_bench() -> dict:
         return {"sha256_error": str(e)[:160]}
 
 
+def _tunnel_probe() -> dict:
+    """Measured D2H bandwidth of the axon device tunnel (two pull sizes,
+    slope cancels the RTT).  Every wall-clock figure in this bench is
+    bounded by this number (the 1M proof is ~10 MB, the z64 proof 32 MB,
+    the 512-proof sha256 batch ~133 MB); it varies 15-45 MB/s run to run,
+    so artifacts carry it for context.  Device-limited figures are
+    unaffected."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        small = jax.block_until_ready(jnp.zeros((1 << 20,), jnp.uint8))
+        big = jax.block_until_ready(jnp.zeros((12 << 20,), jnp.uint8))
+        times = {}
+        for name, arr in (("small", small), ("big", big)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                np.asarray(arr)
+                best = min(best, time.time() - t0)
+            times[name] = best
+        bw = (11 << 20) / max(times["big"] - times["small"], 1e-6) / 1e6
+        log(f"  tunnel D2H: {bw:.1f} MB/s")
+        return {"tunnel_mb_per_s": round(bw, 1)}
+    except Exception:  # noqa: BLE001
+        return {}
+
+
 def _host_slope(stepf, state0, k_lo=2, k_hi=8, reps=3):
     """Chained-slope timing: per-iter device time = (T(k_hi)-T(k_lo)) /
     (k_hi-k_lo) with ONE pull per run; cancels the axon relay RTT, the
@@ -642,6 +670,7 @@ def main() -> None:
         "single_gates_per_sec": round(N_GATES / dt_single),
         "verify_ok": bool(ok),
         "verify_s": round(dt_verify, 3),
+        **_tunnel_probe(),
     }
     if os.environ.get("BENCH_DEVLIM", "1") != "0":
         try:
