@@ -243,8 +243,14 @@ def _verify_device_bench(sys_, proof) -> dict:
     Ro = len(proof.gf2.online)
     unpack = sys_._hash_fns["onl_unpack"]
     split = sys_._use_tape_split
-    tape_fn = next(v for k, v in sys_._hash_fns.items()
-                   if isinstance(k, tuple) and k[0] == "aes")
+    # keys are ("aes", use_pallas, split, use_u8); pick the production
+    # variant for this split-ness (built by the warm verify)
+    cands = sorted(
+        (k for k in sys_._hash_fns
+         if isinstance(k, tuple) and k[0] == "aes"),
+        key=lambda k: (len(k) < 4 or k[2] != split, not k[1]),
+    )
+    tape_fn = sys_._hash_fns[cands[0]]
     nblocks = (cc.m2 + 127) // 128
     zrow_o = jnp.zeros((0, 8, Ro), jnp.uint32)
 
@@ -487,10 +493,14 @@ def _device_limited_bench(sys_, wit2) -> dict:
                          zwit, zwit, zrow, zrow, fex.tables))
     else:
         _split = sys_._use_tape_split
-        tape_fn = (sys_._hash_fns.get(("aes", True, _split))
-                   or sys_._hash_fns.get(("aes", False, _split))
-                   or sys_._hash_fns[next(k for k in sys_._hash_fns
-                                          if k[0] == "aes")])
+        # keys are ("aes", use_pallas, split, use_u8); prefer the
+        # production choice for this split-ness
+        cands = sorted(
+            (k for k in sys_._hash_fns
+             if isinstance(k, tuple) and k[0] == "aes"),
+            key=lambda k: (len(k) < 4 or k[2] != _split, not k[1]),
+        )
+        tape_fn = sys_._hash_fns[cands[0]]
 
         def tape_step(s, k):
             k = perturb(k, s)

@@ -55,6 +55,22 @@ from .tpu_host import (
 U64 = np.uint64
 
 
+def _pallas_interp() -> bool:
+    """Pallas interpret mode on non-TPU backends (CI coverage of the
+    streaming device-tape paths; same escape as tpu_host._gf2_tape)."""
+    import jax
+
+    return bool(os.environ.get("REVERIE_PALLAS_INTERPRET")) and (
+        jax.default_backend() != "tpu"
+    )
+
+
+def _device_tape_eligible() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu" or _pallas_interp()
+
+
 def _tape2_window_host(player_keys: np.ndarray, tape0: int, m2s: int) -> np.ndarray:
     """(m2s, R) GF2 tape rows [tape0, tape0+m2s) via host AES (CPU path /
     small segments).  Layout identical to tpu_host.build_tapes."""
@@ -172,8 +188,11 @@ class StreamingKKW:
         m2s = seg.cc.m2
         R = player_keys.shape[0]
         if self._use_device_tape is None:
-            self._use_device_tape = jax.default_backend() == "tpu"
-        if rkp is None or not self._use_device_tape or m2s < 4096:
+            self._use_device_tape = _device_tape_eligible()
+        # `mask is None` marks a caller that skipped device-tape prep
+        # (backend ineligible); rkp may legitimately be None on the u8
+        # path, which runs its own in-jit key schedule
+        if mask is None or not self._use_device_tape or m2s < 4096:
             rows = _tape2_window_host(player_keys, seg.tape0, m2s)
             if omit is not None:
                 keep = (0xFF ^ (1 << (7 - omit))).astype(np.uint8)
@@ -186,8 +205,9 @@ class StreamingKKW:
         b0 = seg.tape0 // BATCH
         b1 = (seg.tape0 + m2s + BATCH - 1) // BATCH
         nblocks = b1 - b0
+        interp = _pallas_interp()
         use_pallas = (
-            jax.default_backend() == "tpu"
+            (jax.default_backend() == "tpu" or interp)
             and not os.environ.get("REVERIE_NO_PALLAS")
             and nblocks <= int(os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
             and R % 256 == 0  # same lane gate as tpu_host._gf2_tape
@@ -201,8 +221,12 @@ class StreamingKKW:
             from ..crypto.kernels.aes_pallas import aes_ctr_tape_gf2_pallas_u8
 
             if "aesp8" not in self._bitx:
+                import functools
+
                 self._bitx["aesp8"] = jax.jit(
-                    aes_ctr_tape_gf2_pallas_u8, static_argnums=(1,)
+                    functools.partial(aes_ctr_tape_gf2_pallas_u8,
+                                      interpret=interp),
+                    static_argnums=(1,),
                 )
             rows = self._bitx["aesp8"](
                 jnp.asarray(player_keys.reshape(-1, KEY_SIZE)), nblocks,
@@ -214,6 +238,8 @@ class StreamingKKW:
                 self._bitx["aesp"] = jax.jit(
                     aes_ctr_tape_gf2_pallas, static_argnums=(1,)
                 )
+            if rkp is None:
+                rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             # traced start_block: uniform segments share one compile
             rows = self._bitx["aesp"](rkp, nblocks, mask, np.int32(b0))
         else:
@@ -224,6 +250,8 @@ class StreamingKKW:
                     )
 
                 self._bitx["aes"] = jax.jit(_afn, static_argnums=(1,))
+            if rkp is None:
+                rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             rows = self._bitx["aes"](rkp, nblocks, np.int32(b0), mask)
         off = seg.tape0 - b0 * BATCH
         return rows[off : off + m2s]
@@ -471,10 +499,11 @@ class StreamingKKW:
             raise AssertionError("witness is too short")
 
         rkp = mask = None
-        if jax.default_backend() == "tpu" and (R * 8) % 32 == 0:
+        if _device_tape_eligible() and (R * 8) % 32 == 0:
             from ..crypto.kernels import aes_jax as aj
 
-            rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
+            if os.environ.get("REVERIE_TAPE_U8", "1") in ("", "0"):
+                rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             mask = jnp.asarray(np.full(R * 8 // 32, 0xFFFFFFFF, np.uint32))
 
         # ---- pass 1: execute + absorb + discard ---------------------------
@@ -683,10 +712,11 @@ class StreamingKKW:
         rkp = mask = None
         import jax
 
-        if jax.default_backend() == "tpu" and (Ro * 8) % 32 == 0:
+        if _device_tape_eligible() and (Ro * 8) % 32 == 0:
             from ..crypto.kernels import aes_jax as aj
 
-            rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
+            if os.environ.get("REVERIE_TAPE_U8", "1") in ("", "0"):
+                rkp = aj.rkp_on_device(player_keys.reshape(-1, KEY_SIZE))
             mask = jnp.asarray(aj.lane_mask_from_omit(omit, Ro))
 
         pok = self.mesh is None
@@ -758,10 +788,11 @@ class StreamingKKW:
             pk2 = expand_seeds(seeds2).reshape(Rp, 8, KEY_SIZE)
             pkz = expand_seeds(seedsz).reshape(Rp, 8, KEY_SIZE)
             rkp_p = mask_p = None
-            if jax.default_backend() == "tpu" and (Rp * 8) % 32 == 0:
+            if _device_tape_eligible() and (Rp * 8) % 32 == 0:
                 from ..crypto.kernels import aes_jax as aj
 
-                rkp_p = aj.rkp_on_device(pk2.reshape(-1, KEY_SIZE))
+                if os.environ.get("REVERIE_TAPE_U8", "1") in ("", "0"):
+                    rkp_p = aj.rkp_on_device(pk2.reshape(-1, KEY_SIZE))
                 mask_p = jnp.asarray(np.full(Rp * 8 // 32, 0xFFFFFFFF, np.uint32))
 
         pre_hp = ColumnHasher(self.pre_total, Rp, self.mesh is None)

@@ -350,6 +350,42 @@ def make_z64_extractor(cc: CompiledCircuit, out_sharding=None):
         (cc.input_slotsz[:, None] + np.arange(8)[None, :]).reshape(-1).astype(np.int32)
     )
 
+    use_mm = os.environ.get("REVERIE_EXTRACT_MM", "1") not in ("", "0")
+
+    def _fn_gather(onlz, prez, omit_i32, cols):
+        """Gather form (batch lane counts / REVERIE_EXTRACT_MM=0): the
+        cols lane-take scales linearly with R, unlike the one-hot
+        contraction."""
+        K = cols.shape[0]
+        parts = []
+        if nr:
+            if r0 is not None:
+                a = jax.lax.slice_in_dim(onlz, r0, r0 + 64 * nr, axis=0)
+            else:
+                a = jnp.take(onlz, jrec, axis=0)
+            a = jnp.take(a.reshape(nr, 8, 8, onlz.shape[1]), cols, axis=3)
+            idx = jnp.broadcast_to(omit_i32[None, None, None, :],
+                                   (nr, 1, 8, K))
+            sel = jnp.take_along_axis(a, idx, axis=1)[:, 0]
+            parts.append(jnp.transpose(sel, (2, 0, 1)).reshape(-1))
+        if nc:
+            if c0 is not None:
+                b_ = jax.lax.slice_in_dim(prez, c0, c0 + 8 * nc, axis=0)
+            else:
+                b_ = jnp.take(prez, jcor, axis=0)
+            b_ = jnp.take(b_.reshape(nc, 8, prez.shape[1]), cols, axis=2)
+            parts.append(jnp.transpose(b_, (2, 0, 1)).reshape(-1))
+        if ni:
+            if i0 is not None:
+                c_ = jax.lax.slice_in_dim(onlz, i0, i0 + 8 * ni, axis=0)
+            else:
+                c_ = jnp.take(onlz, jinp, axis=0)
+            c_ = jnp.take(c_.reshape(ni, 8, onlz.shape[1]), cols, axis=2)
+            parts.append(jnp.transpose(c_, (2, 0, 1)).reshape(-1))
+        if not parts:
+            return jnp.zeros((0,), jnp.uint8)
+        return jnp.concatenate(parts)
+
     def fn(onlz, prez, omit_i32, cols):
         # MXU one-hot selection (round 5): minor-dim u8 lane gathers don't
         # vectorize on TPU (the old form ran at ~290 ms for 50k muls); a
@@ -357,9 +393,14 @@ def make_z64_extractor(cc: CompiledCircuit, out_sharding=None):
         # recon events, the omitted player in the same contraction -- at
         # matmul rate.  Bytes survive the i8 round trip (two's complement,
         # low 8 bits taken back).  Dense slot runs (every compiler layout)
-        # make the row addressing pure slices.
+        # make the row addressing pure slices.  Gated to single-proof
+        # lane counts like the gf2 extractor: at batch shapes (R = N*256,
+        # K = 40N) the (R, K) one-hot contraction is quadratic in N --
+        # batches keep the gather form.
         K = cols.shape[0]
         R = onlz.shape[1]
+        if not use_mm or R > 512:
+            return _fn_gather(onlz, prez, omit_i32, cols)
         oh_cols = (cols[None, :] == jnp.arange(R, dtype=cols.dtype)[:, None]
                    ).astype(jnp.int8)  # (R, K)
         parts = []
@@ -814,6 +855,12 @@ class TpuKKW:
             and _os.environ.get("REVERIE_Z64_PALLAS", "1") not in ("", "0")
             and not self._multiproc
             and B <= int(_os.environ.get("REVERIE_PALLAS_MAX_B", 65536))
+            # the z64 kernel has no lane grid: its (11,16,8,L) round-key
+            # VMEM block grows with the rep count, so batch lane counts
+            # (R = N*256 -> Kw = N*64) would exceed scoped VMEM; cap at
+            # the single-proof/verifier shapes and leave prove_batch on
+            # the chunked XLA path
+            and R <= 512
         )
         R_pad = R
         if use_pallas:

@@ -286,3 +286,23 @@ def test_streamed_deep_mesh_composition():
     assert isinstance(sk._executor(0, 0, 256), ScanExecutor)
     assert proof.to_bytes() == base.to_bytes()
     assert sk.verify(proof)
+
+
+@pytest.mark.slow
+def test_streamed_prove_u8_interpret_matches_unsegmented(monkeypatch):
+    """The streaming u8 device-tape branch (Pallas interpret on CPU) must
+    produce byte-identical proofs to the unsegmented prover -- CI coverage
+    for the round-5 segment-window tape path without hardware."""
+    monkeypatch.setenv("REVERIE_PALLAS_INTERPRET", "1")
+    from reverie_tpu.backend.streaming import StreamingKKW
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.builders import mul_bench_circuit
+
+    prog, wit2, witz = mul_bench_circuit(6000)  # m2 = 12002 > 4096/segment
+    rng = np.random.RandomState(3)
+    seeds = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
+    base = TpuKKW(prog).prove(wit2, witz, seeds=seeds)
+    s = StreamingKKW(prog, 3000)
+    p = s.prove(wit2, witz, seeds=seeds)
+    assert p.to_bytes() == base.to_bytes()
+    assert s.verify(p)
