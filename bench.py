@@ -119,7 +119,7 @@ def _sha256_batch_bench() -> dict:
         msg = b"reverie-tpu bench"
         prog, _ = sha256_preimage_statement(hashlib.sha256(msg).digest())
         wit = block_to_witness_bits(sha256_pad_one_block(msg))
-        sys_ = TpuKKW(prog)
+        sys_ = TpuKKW(prog, cache_key=b"sha256_preimage:" + msg)
         rng = np.random.RandomState(3)
         seeds1 = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
         t0 = time.time()
@@ -357,7 +357,7 @@ def _z64_bench() -> dict:
         n_muls = int(os.environ.get("BENCH_Z64_N", 50_000))
         R = DEFAULT_PARAMS.total_reps
         prog, w2, wz = z64_mul_bench_circuit(n_muls)
-        sys_ = TpuKKW(prog)
+        sys_ = TpuKKW(prog, cache_key=f"z64_mul:{n_muls}".encode())
         cc = sys_.cc
         rng = np.random.RandomState(5)
         seeds = rng.randint(0, 256, size=(R, 16), dtype=np.uint8)
@@ -615,7 +615,7 @@ def main() -> None:
     log(f"  built in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    sys_ = TpuKKW(prog)
+    sys_ = TpuKKW(prog, cache_key=f"mul_bench:{N_GATES}".encode())
     log(f"  compiled circuit in {time.time()-t0:.1f}s "
         f"(depth={sys_.cc.depth}, m2={sys_.cc.m2})")
 

@@ -26,7 +26,7 @@ __version__ = "0.1.0"
 
 
 def make_system(program, params=DEFAULT_PARAMS, mesh=None,
-                hbm_budget_bytes=None):
+                hbm_budget_bytes=None, cache_key=None):
     """Build the right prover/verifier for a circuit's size: the in-HBM
     `TpuKKW` when its device footprint fits the budget, the O(segment)
     streaming `StreamingKKW` otherwise (segment size chosen to fit).  Both
@@ -76,7 +76,7 @@ def make_system(program, params=DEFAULT_PARAMS, mesh=None,
     from .backend.tpu_host import TpuKKW, device_footprint
     from .circuit.compile import compile_program
 
-    cc = compile_program(program)
+    cc = compile_program(program, cache_key=cache_key)
     total = device_footprint(cc, R)
     if total <= hbm_budget_bytes:
         return TpuKKW(program, params=params, mesh=mesh, cc=cc)

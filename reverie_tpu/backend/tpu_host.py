@@ -565,11 +565,14 @@ class TpuKKW:
     """Compile a circuit once; prove and verify on the TPU backend."""
 
     def __init__(self, program: Sequence[CombineOp], params: ProtocolParams = DEFAULT_PARAMS,
-                 mesh=None, cc=None):
+                 mesh=None, cc=None, cache_key=None):
         """`mesh`: optional jax.sharding.Mesh -- shards the repetition axis
         of proving/verification over the mesh devices (parallel/mesh.py).
         `cc`: optionally a precompiled circuit (make_system compiles once to
-        size the system and passes it through)."""
+        size the system and passes it through).  `cache_key`: opaque bytes
+        identifying `program` -- enables the levelizer's disk cache
+        (compile.compile_program; the pure-Python compile pass is ~10 s at
+        1M gates)."""
         self.params = params
         self.mesh = mesh
         from ..parallel.distributed import mesh_is_multiprocess
@@ -579,7 +582,8 @@ class TpuKKW:
         # device-built executor inputs get global out_shardings so each
         # process computes only its repetition slice
         self._multiproc = mesh_is_multiprocess(mesh)
-        self.cc = compile_program(program) if cc is None else cc
+        self.cc = (compile_program(program, cache_key=cache_key)
+                   if cc is None else cc)
         self._executors: Dict[tuple, Executor] = {}
         self._hash_fns: Dict[tuple, object] = {}
 

@@ -135,16 +135,56 @@ class _Builder:
         self.max_level = max(self.max_level, level)
 
 
+def _compile_cache_salt() -> bytes:
+    """Invalidate cached CompiledCircuits whenever this module changes."""
+    import hashlib
+
+    try:
+        with open(__file__, "rb") as f:
+            return hashlib.sha256(f.read()).digest()[:8]
+    except OSError:
+        return b"nosalt00"
+
+
 def compile_program(program: Sequence[CombineOp],
                     carry_in: Optional[Sequence[int]] = None,
                     out_val_map: Optional[Dict[int, int]] = None,
                     carry_inz: Optional[Sequence[int]] = None,
-                    out_val_mapz: Optional[Dict[int, int]] = None) -> CompiledCircuit:
+                    out_val_mapz: Optional[Dict[int, int]] = None,
+                    cache_key: Optional[bytes] = None) -> CompiledCircuit:
     """carry_in / carry_inz: GF2 / Z64 wire ids whose values enter this
     (sub)program from a previous segment; they are pre-assigned value slots
     1..len(carry) in order per domain.  out_val_map / out_val_mapz (if given)
     are filled with the final wire->value slot maps (streaming segmentation,
-    see backend/streaming.py)."""
+    see backend/streaming.py).
+
+    cache_key: opaque bytes that uniquely identify `program` (e.g. the
+    program file's raw bytes, or a builder name+params string) -- enables a
+    pickle disk cache under REVERIE_COMPILE_CACHE (default
+    ~/.cache/reverie_tpu/circuits), salted with this module's source hash.
+    The levelizer is a pure-Python per-gate pass (~10 s at 1M gates), a
+    fixed warm-start cost for repeat circuits otherwise.  Only valid
+    without carry/out_val_map plumbing (whole-program compiles)."""
+    import hashlib
+    import os
+    import pickle
+
+    cpath = None
+    if (cache_key is not None and carry_in is None and out_val_map is None
+            and carry_inz is None and out_val_mapz is None):
+        cdir = os.environ.get(
+            "REVERIE_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "reverie_tpu",
+                         "circuits"))
+        if cdir not in ("", "0"):
+            h = hashlib.sha256(_compile_cache_salt() + cache_key).hexdigest()
+            cpath = os.path.join(cdir, h + ".pkl")
+            try:
+                with open(cpath, "rb") as f:
+                    return pickle.load(f)
+            except (OSError, pickle.UnpicklingError, EOFError,
+                    AttributeError):
+                pass
     d2 = _DomState()
     dz = _DomState()
     if carry_in:
@@ -320,7 +360,7 @@ def compile_program(program: Sequence[CombineOp],
         if table:
             levels.append(table)
 
-    return CompiledCircuit(
+    cc = CompiledCircuit(
         levels=levels,
         n_vals2=d2.n_vals,
         n_valsz=dz.n_vals,
@@ -345,6 +385,19 @@ def compile_program(program: Sequence[CombineOp],
         corr_slotsz=np.asarray(co_slotsz, dtype=np.int64),
         recon_slotsz=np.asarray(re_slotsz, dtype=np.int64),
     )
+    if cpath is not None:
+        import os
+        import pickle
+
+        try:
+            os.makedirs(os.path.dirname(cpath), exist_ok=True)
+            tmp = cpath + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(cc, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, cpath)
+        except OSError:
+            pass
+    return cc
 
 
 # ---------------------------------------------------------------------------

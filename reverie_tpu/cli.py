@@ -22,11 +22,25 @@ import time
 import numpy as np
 
 
+def _program_cache_key(data: bytes, fmt: str, bristol_output: str) -> bytes:
+    """Levelizer disk-cache key: the raw program file bytes uniquely
+    determine the compiled circuit (plus format/output-assertion args)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(fmt.encode())
+    h.update(bristol_output.encode())
+    h.update(data)
+    return h.digest()
+
+
 def _load_program(path: str, fmt: str, bristol_output: str = ""):
     from .circuit import bristol_to_program, load_program, parse_bristol
 
     with open(path, "rb") as f:
         data = f.read()
+    _load_program.last_cache_key = _program_cache_key(data, fmt,
+                                                      bristol_output)
     if fmt == "bristol":
         circ = parse_bristol(data.decode())
         if bristol_output:
@@ -83,7 +97,8 @@ def _enable_jit_cache(backend: str = "tpu") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _backend_system(program, backend: str, segment_ops: int = 0):
+def _backend_system(program, backend: str, segment_ops: int = 0,
+                    cache_key=None):
     _enable_jit_cache(backend)
     if segment_ops:
         from .backend.streaming import StreamingKKW
@@ -94,7 +109,7 @@ def _backend_system(program, backend: str, segment_ops: int = 0):
         # footprint exceeds the HBM budget (REVERIE_HBM_BUDGET)
         from . import make_system
 
-        return make_system(program)
+        return make_system(program, cache_key=cache_key)
     return None  # cpu golden backend uses module functions
 
 
@@ -107,7 +122,8 @@ def cmd_prove(args) -> int:
     print("Evaluating program in ~zero knowledge~")
     t0 = time.time()
     if args.backend == "tpu" or args.segment_ops:
-        sys_ = _backend_system(program, args.backend, args.segment_ops)
+        sys_ = _backend_system(program, args.backend, args.segment_ops,
+                               cache_key=_load_program.last_cache_key)
         proof = sys_.prove(witness, [])
     else:
         proof = prove(program, witness, [], largest_wires(program))
@@ -128,7 +144,9 @@ def cmd_verify(args) -> int:
     print("Verifying Proof")
     t0 = time.time()
     if args.backend == "tpu" or args.segment_ops:
-        ok = _backend_system(program, args.backend, args.segment_ops).verify(proof)
+        ok = _backend_system(
+            program, args.backend, args.segment_ops,
+            cache_key=_load_program.last_cache_key).verify(proof)
     else:
         ok = verify(proof, program, largest_wires(program))
     print(f"verified in {time.time() - t0:.2f}s")
@@ -158,7 +176,8 @@ def cmd_oneshot_zk(args) -> int:
     witness = _load_witness(args.witness_path)
     print("Evaluating program in ~zero knowledge~")
     if args.backend == "tpu" or args.segment_ops:
-        sys_ = _backend_system(program, args.backend, args.segment_ops)
+        sys_ = _backend_system(program, args.backend, args.segment_ops,
+                               cache_key=_load_program.last_cache_key)
         proof = sys_.prove(witness, [])
         ok = sys_.verify(proof)
     else:

@@ -147,3 +147,22 @@ def test_z64_tape_pallas_interpret_tiny():
     for i in range(2):
         np.testing.assert_array_equal(np.asarray(want[i]),
                                       np.asarray(got[i]))
+
+
+def test_compile_program_disk_cache(tmp_path, monkeypatch):
+    """The levelizer disk cache must round-trip CompiledCircuit exactly:
+    proofs built from a cache-loaded circuit are byte-identical."""
+    monkeypatch.setenv("REVERIE_COMPILE_CACHE", str(tmp_path))
+    from reverie_tpu.backend.tpu_host import TpuKKW
+    from reverie_tpu.circuit.builders import mul_bench_circuit
+    from reverie_tpu.circuit.compile import compile_program
+
+    prog, w2, wz = mul_bench_circuit(40)
+    seeds = (np.arange(256 * 16, dtype=np.uint8).reshape(256, 16) % 251)
+    cc_cold = compile_program(prog, cache_key=b"test:mul40")
+    assert any(p.suffix == ".pkl" for p in tmp_path.iterdir())
+    cc_warm = compile_program(prog, cache_key=b"test:mul40")
+    p1 = TpuKKW(prog, cc=cc_cold).prove(w2, wz, seeds=seeds)
+    p2 = TpuKKW(prog, cc=cc_warm).prove(w2, wz, seeds=seeds)
+    assert p1.to_bytes() == p2.to_bytes()
+    assert TpuKKW(prog, cc=cc_warm).verify(p2)
