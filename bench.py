@@ -156,6 +156,51 @@ def _sha256_batch_bench() -> dict:
         return {"sha256_error": str(e)[:160]}
 
 
+def _tunnel_gate(min_mbps: float = None) -> None:
+    """Abort early (honest JSON + last measured result) when the device
+    tunnel is effectively down: at <0.2 MB/s the 1M bench's ~170 MB of
+    pulls would take hours and every wall figure is meaningless.  The
+    probe runs in a daemon thread so a wedged transfer cannot hang the
+    gate.  Threshold via BENCH_MIN_TUNNEL_MBPS (0 disables)."""
+    if min_mbps is None:
+        min_mbps = float(os.environ.get("BENCH_MIN_TUNNEL_MBPS", "0.2"))
+    if min_mbps <= 0:
+        return
+    import threading
+
+    res = {}
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        a = jax.block_until_ready(jnp.zeros((2 << 20,), jnp.uint8))
+        t0 = time.time()
+        np.asarray(a)
+        res["mbps"] = 2.0 / max(time.time() - t0, 1e-6)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(2.0 / min_mbps + 60.0)
+    mbps = res.get("mbps", 0.0)
+    if t.is_alive() or mbps < min_mbps:
+        err = {
+            "metric": "AND_gates_per_sec_proving_z2_256reps",
+            "value": 0,
+            "unit": "gates/s",
+            "vs_baseline": 0.0,
+            "error": (f"device tunnel at {mbps:.2f} MB/s "
+                      f"(< {min_mbps} MB/s floor) -- wall metrics "
+                      "unmeasurable; see last_measured"),
+        }
+        last = _read_last_measured()
+        if last is not None:
+            err["last_measured"] = last
+        print(json.dumps(err))
+        sys.exit(2)
+    log(f"  tunnel gate: {mbps:.1f} MB/s")
+
+
 def _tunnel_probe() -> dict:
     """Measured D2H bandwidth of the axon device tunnel (two pull sizes,
     slope cancels the RTT).  Every wall-clock figure in this bench is
@@ -596,6 +641,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
 
 def main() -> None:
     _check_device()
+    _tunnel_gate()
     import jax
 
     # persistent compile cache: repeated bench runs skip the (expensive)
