@@ -94,6 +94,26 @@ def _check_device(timeout_s: float = 180.0) -> None:
     log(f"devices: {devices}")
 
 
+def _builder_cache_key(tag: str) -> bytes:
+    """Levelizer-cache key for a builder-generated circuit: the builder
+    module's source hash is included so a changed generator can never
+    serve a stale compiled circuit."""
+    import hashlib
+
+    import reverie_tpu.circuit.builders as _b
+    import reverie_tpu.circuit.sha256 as _s
+
+    h = hashlib.sha256()
+    h.update(tag.encode())
+    for mod in (_b, _s):
+        try:
+            with open(mod.__file__, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.digest()
+
+
 def _sha256_batch_bench() -> dict:
     """Secondary metrics: the deep-circuit flagship (SHA-256 preimage,
     depth ~5200 -> scan executor) as single-proof latency and sustained
@@ -119,7 +139,7 @@ def _sha256_batch_bench() -> dict:
         msg = b"reverie-tpu bench"
         prog, _ = sha256_preimage_statement(hashlib.sha256(msg).digest())
         wit = block_to_witness_bits(sha256_pad_one_block(msg))
-        sys_ = TpuKKW(prog, cache_key=b"sha256_preimage:" + msg)
+        sys_ = TpuKKW(prog, cache_key=_builder_cache_key("sha256_preimage:" + msg.hex()))
         rng = np.random.RandomState(3)
         seeds1 = rng.randint(0, 256, size=(256, 16), dtype=np.uint8)
         t0 = time.time()
@@ -402,7 +422,7 @@ def _z64_bench() -> dict:
         n_muls = int(os.environ.get("BENCH_Z64_N", 50_000))
         R = DEFAULT_PARAMS.total_reps
         prog, w2, wz = z64_mul_bench_circuit(n_muls)
-        sys_ = TpuKKW(prog, cache_key=f"z64_mul:{n_muls}".encode())
+        sys_ = TpuKKW(prog, cache_key=_builder_cache_key(f"z64_mul:{n_muls}"))
         cc = sys_.cc
         rng = np.random.RandomState(5)
         seeds = rng.randint(0, 256, size=(R, 16), dtype=np.uint8)
@@ -661,7 +681,7 @@ def main() -> None:
     log(f"  built in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    sys_ = TpuKKW(prog, cache_key=f"mul_bench:{N_GATES}".encode())
+    sys_ = TpuKKW(prog, cache_key=_builder_cache_key(f"mul_bench:{N_GATES}"))
     log(f"  compiled circuit in {time.time()-t0:.1f}s "
         f"(depth={sys_.cc.depth}, m2={sys_.cc.m2})")
 

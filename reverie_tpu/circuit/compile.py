@@ -136,14 +136,21 @@ class _Builder:
 
 
 def _compile_cache_salt() -> bytes:
-    """Invalidate cached CompiledCircuits whenever this module changes."""
+    """Invalidate cached CompiledCircuits whenever the levelizer or the IR
+    semantics change (ir.py defines the gate/op encoding the compile pass
+    interprets)."""
     import hashlib
+    import os
 
-    try:
-        with open(__file__, "rb") as f:
-            return hashlib.sha256(f.read()).digest()[:8]
-    except OSError:
-        return b"nosalt00"
+    h = hashlib.sha256()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("compile.py", "ir.py"):
+        try:
+            with open(os.path.join(here, name), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"missing:" + name.encode())
+    return h.digest()[:8]
 
 
 def compile_program(program: Sequence[CombineOp],
