@@ -1599,6 +1599,37 @@ class TpuKKW:
         return ((R + D - 1) // D) * D
 
     def verify(self, proof: Proof, strict_zero_check: bool = True) -> bool:
+        st = self._verify_dispatch(proof)
+        if st is False:
+            return False
+        return self._verify_finish(st, strict_zero_check)
+
+    def verify_many(self, proofs, strict_zero_check: bool = True):
+        """Software-pipelined verification of a stream of proofs: proof
+        i+1's host-side injection prep + uploads overlap proof i's device
+        re-executions and hash pulls (the TPU analog of a rayon'd verifier
+        service; sustained throughput is set by per-proof device time, not
+        device + transfer).  Returns [bool] in order; each result equals
+        verify() on that proof."""
+        states = []
+        results = [None] * len(proofs)
+        for i, p in enumerate(proofs):
+            states.append(self._verify_dispatch(p))
+            if i >= 1 and states[i - 1] is not False:
+                results[i - 1] = self._verify_finish(states[i - 1],
+                                                     strict_zero_check)
+                states[i - 1] = None
+        for i, st in enumerate(states):
+            if st is False:
+                results[i] = False
+            elif st is not None:
+                results[i] = self._verify_finish(st, strict_zero_check)
+        return results
+
+    def _verify_dispatch(self, proof: Proof):
+        """Enqueue both verifier re-executions (online + preprocessing) and
+        start the async hash pulls; returns the in-flight state, or False
+        for a malformed proof."""
         import os as _os
 
         from ..utils.profiling import PhaseTimer
@@ -1753,17 +1784,30 @@ class TpuKKW:
                 out["onl2"], out["pre2"], out["onlz"], out["prez"], comm2, commz
             )
 
+        try:
+            rep_h.copy_to_host_async()
+        except AttributeError:
+            pass
+        return dict(dbuf_onl=dbuf_onl, rep_h=rep_h, comm=proof.comm,
+                    Ro=Ro, Rop=Rop, Rp=Rp, timer=timer, profile=profile)
+
+    def _verify_finish(self, st, strict_zero_check: bool = True) -> bool:
+        """Block on the hash pulls, reorder per the challenge, and compare
+        the commitment."""
+        params = self.params
+        timer, profile = st["timer"], st["profile"]
+        Ro, Rop, Rp = st["Ro"], st["Rop"], st["Rp"]
         with timer.phase("pulls"):
-            buf = np.asarray(dbuf_onl)
+            buf = np.asarray(st["dbuf_onl"])
             # dummy pad lanes (zero keys/streams) compute garbage: slice to
             # the real online reps before the fail check
             hashes_online = buf[: Rop * 32].reshape(Rop, 32)[:Ro]  # (40, 32)
             if strict_zero_check and buf[Rop * 32 : Rop * 32 + Ro].any():
                 return False
-            hashes_pre = np.asarray(rep_h)[:Rp]  # (216, 32)
+            hashes_pre = np.asarray(st["rep_h"])[:Rp]  # (216, 32)
 
         # ---- reorder + commitment check -----------------------------------
-        open_map = challenge_to_opening(proof.comm, params)
+        open_map = challenge_to_opening(st["comm"], params)
         ordered = np.zeros((params.total_reps, 32), dtype=np.uint8)
         io_ = ip = 0
         for i in range(params.total_reps):
@@ -1773,7 +1817,7 @@ class TpuKKW:
             else:
                 ordered[i] = hashes_pre[ip]
                 ip += 1
-        ok = blake3(ordered.tobytes()) == proof.comm
+        ok = blake3(ordered.tobytes()) == st["comm"]
         if profile:
             import sys as _sys
 

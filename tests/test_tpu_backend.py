@@ -502,3 +502,22 @@ def test_fused_prove_interpret_matches_golden():
         os.environ.pop("REVERIE_PALLAS_INTERPRET", None)
     gold = cpu_prove(prog, wit2, witz, seeds=s.reshape(32, 8, 16))
     assert proof.to_bytes() == gold.to_bytes()
+
+
+def test_verify_many_matches_individual():
+    """Pipelined verification returns the same verdicts as verify() --
+    including malformed and tampered proofs mid-stream."""
+    from reverie_tpu.proof.container import Proof
+
+    prog, wit2, witz = mul_bench_circuit(30)
+    rng = np.random.RandomState(17)
+    seeds = rng.randint(0, 256, size=(3, 256, 16), dtype=np.uint8)
+    sys_ = TpuKKW(prog)
+    proofs = [sys_.prove(wit2, witz, seeds=s) for s in seeds]
+    bad = bytearray(proofs[1].to_bytes())
+    bad[40] ^= 0xFF  # corrupt the first online omit byte
+    proofs[1] = Proof.from_bytes(bytes(bad))
+    want = [sys_.verify(p) for p in proofs]
+    assert want[0] and want[2] and not want[1]
+    got = sys_.verify_many(proofs)
+    assert got == want
