@@ -176,6 +176,38 @@ def _sha256_batch_bench() -> dict:
         return {"sha256_error": str(e)[:160]}
 
 
+def _arm_watchdog(limit_s: float = None) -> None:
+    """Hard wall-clock cap: the axon tunnel can WEDGE mid-run (observed
+    2026-08-20: bandwidth oscillating 2 -> 0.04 MB/s after an outage), and
+    a blocked np.asarray hangs forever -- which would hang the driver.
+    After the limit, print the honest error JSON (+ last measured result)
+    and hard-exit.  BENCH_WATCHDOG_S=0 disables."""
+    if limit_s is None:
+        limit_s = float(os.environ.get("BENCH_WATCHDOG_S", "5400"))
+    if limit_s <= 0:
+        return
+    import threading
+
+    def fire():
+        err = {
+            "metric": "AND_gates_per_sec_proving_z2_256reps",
+            "value": 0,
+            "unit": "gates/s",
+            "vs_baseline": 0.0,
+            "error": f"bench exceeded {limit_s:.0f}s watchdog "
+                     "(device tunnel wedged mid-run?); see last_measured",
+        }
+        last = _read_last_measured()
+        if last is not None:
+            err["last_measured"] = last
+        print(json.dumps(err), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(limit_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def _tunnel_gate(min_mbps: float = None) -> None:
     """Abort early (honest JSON + last measured result) when the device
     tunnel is effectively down: at <0.2 MB/s the 1M bench's ~170 MB of
@@ -662,6 +694,7 @@ def _device_limited_bench(sys_, wit2) -> dict:
 def main() -> None:
     _check_device()
     _tunnel_gate()
+    _arm_watchdog()
     import jax
 
     # persistent compile cache: repeated bench runs skip the (expensive)
